@@ -1,0 +1,40 @@
+"""Solver configuration.
+
+The reference hard-codes its knobs in source and tells users to edit them per
+deck (HAKAI-v0.0.1/input/readme-for-inp.txt:4-16).  Here every knob is a
+config field; deck values (dt, end time, mass scaling) always win.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ContactConfig:
+    """Contact penalty model knobs (reference values at HAKAI_j.jl:2254-2259)."""
+    myu: float = 0.25          # Coulomb friction coefficient (HAKAI_j.jl:2255)
+    kc: float = 1.0            # penalty scale, instance-instance (kc_o, :2256)
+    kc_self: float = 1.0       # penalty scale, self-contact (kc_s, :2257)
+    Cr: float = 0.0            # damping ratio, instance-instance (Cr_o, :2258)
+    Cr_self: float = 0.0       # damping ratio, self-contact (Cr_s, :2259)
+    d_lim_scale: float = 0.3   # max accepted depth = scale*elementMinSize (:2254)
+    ddiv_scale: float = 1.1    # broad-phase cell = scale*elementMaxSize (:2331)
+    ddiv_scale_self: float = 0.6  # cell size for self-contact (:2333)
+    # static capacities for compacted active sets (None = auto from mesh)
+    tri_capacity: int | None = None
+    node_capacity: int | None = None
+    node_block: int = 2048     # narrow-phase node-tile size (memory bound)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    dtype: str = "float64"       # state dtype; "float64" matches the reference
+    integ_num: int = 8           # Gauss points per hex (HAKAI_j.jl:177)
+    output_num: int = 100        # VTK frames per run (HAKAI_j.jl:471)
+    damping_C: float = 0.0       # mass-proportional damping (HAKAI_j.jl:217)
+    node_pad: int = 8            # pad n_node to a multiple (TPU lanes: use 128)
+    elem_pad: int = 8            # pad n_element to a multiple
+    contact: ContactConfig = field(default_factory=ContactConfig)
+    out_dir: str = "temp"        # VTK output directory (reference: "temp\\")
+    steps_per_call: int | None = None  # host-loop chunk; None = d_out
+    check_nan: bool = False      # abort-on-NaN guard between chunks
