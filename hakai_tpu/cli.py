@@ -1,0 +1,76 @@
+"""Command-line entry point.
+
+Reference CLI: ``julia HAKAI_j.jl <file.inp>`` (HAKAI_j.jl:3729-3735).
+Here: ``python -m hakai_tpu <file.inp> [options]``.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="hakai_tpu",
+        description="TPU-native dynamic-explicit FEM solver (.inp in, VTK out)")
+    ap.add_argument("inp", help="Abaqus .inp input deck")
+    ap.add_argument("--precision", choices=["f32", "f64"], default="f64",
+                    help="state dtype (f64 matches the reference)")
+    ap.add_argument("--out-dir", default="temp", help="VTK output directory")
+    ap.add_argument("--output-num", type=int, default=100,
+                    help="number of VTK frames (reference: 100)")
+    ap.add_argument("--no-output", action="store_true",
+                    help="skip VTK writing (benchmarking)")
+    ap.add_argument("--kc", type=float, default=1.0,
+                    help="contact penalty scale (reference kc)")
+    ap.add_argument("--myu", type=float, default=0.25,
+                    help="contact friction coefficient")
+    ap.add_argument("--node-pad", type=int, default=8)
+    ap.add_argument("--elem-pad", type=int, default=8)
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save a resumable checkpoint every N frames")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint file to resume from")
+    args = ap.parse_args(argv)
+
+    from .config import ContactConfig, SolverConfig
+    cfg = SolverConfig(
+        dtype="float64" if args.precision == "f64" else "float32",
+        out_dir=args.out_dir,
+        output_num=args.output_num,
+        node_pad=args.node_pad,
+        elem_pad=args.elem_pad,
+        contact=ContactConfig(kc=args.kc, kc_self=args.kc, myu=args.myu),
+    )
+    if cfg.dtype == "float64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
+    from .io.inp import read_inp_file
+    from .core.lowering import lower
+    from .core.state import init_state
+    from .solver.explicit import run
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+
+    model_in = read_inp_file(args.inp)
+    print(f"nNode:{model_in.n_node}")
+    print(f"nElement:{model_in.n_element}")
+    print(f"contact_flag:{model_in.contact_flag}")
+    print(f"mass_scaling:{model_in.mass_scaling}")
+    model = lower(model_in, cfg)
+    print(f"time_num:{model.time_num}")
+    print(f"elementMinSize:{model.element_min_size}")
+    print(f"elementMaxSize:{model.element_max_size}")
+
+    state = init_state(model)
+    if args.resume:
+        state = load_checkpoint(args.resume, state)
+        print(f"resumed at step {int(state.t)}")
+    state = run(model, state, write_output=not args.no_output)
+    if args.checkpoint_every:
+        save_checkpoint(f"{args.out_dir}/final.ckpt.npz", state)
+    return state
+
+
+if __name__ == "__main__":
+    main()

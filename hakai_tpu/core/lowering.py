@@ -1,0 +1,520 @@
+"""Lowering: parsed :class:`~hakai_tpu.io.model.Model` -> padded static-shape
+device arrays.
+
+This replaces the reference's mutable object graph + in-place loops
+(HAKAI_j.jl:81-485 setup) with a compile-once representation:
+
+  * node/element tables padded to lane-friendly multiples, mesh axis last;
+  * per-element material constants gathered into dense arrays;
+  * internal-force assembly as a precomputed node->(element,slot) incidence
+    table so the Qe->Q scatter (HAKAI_j.jl:668-675) becomes a deterministic
+    gather-sum;
+  * the complete contact face inventory (exterior *and* interior faces) is
+    pre-enumerated with twin-element links so that post-erosion surface
+    growth (add_surface_triangle, HAKAI_j.jl:2167-2245) is a mask flip, not a
+    dynamic append.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SolverConfig
+from ..io.model import Model
+from ..ops.shape import pusai_hexa
+
+# face -> local node slots, with the reference's node orders
+# (get_element_face, HAKAI_j.jl:1959-1964)
+_FACE_SLOTS = np.array([
+    [0, 1, 2, 3],
+    [4, 5, 6, 7],
+    [0, 1, 5, 4],
+    [1, 2, 6, 5],
+    [2, 3, 7, 6],
+    [3, 0, 4, 7],
+])
+
+
+def _round_up(x: int, m: int) -> int:
+    return int(-(-x // m) * m)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ContactPairArrays:
+    """One *directional* contact pair: nodes of instance ``i`` against the
+    triangulated surface of instance ``j`` (CT entries, HAKAI_j.jl:357-398)."""
+    # ---- static metadata ----
+    i_instance: int = dataclasses.field(metadata=dict(static=True), default=0)
+    j_instance: int = dataclasses.field(metadata=dict(static=True), default=0)
+    is_self: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    young: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    tri_capacity: int = dataclasses.field(metadata=dict(static=True), default=0)
+    node_capacity: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # ---- triangle (j) side: full face inventory of instance j ----
+    tri_nodes: jnp.ndarray = None     # (3, 2F) int32 global node ids
+    tri_elem: jnp.ndarray = None      # (2F,) int32 global element id
+    tri_init: jnp.ndarray = None      # (2F,) bool: initially exposed & in CP set
+    tri_twin: jnp.ndarray = None      # (2F,) int32 twin element id, -1 boundary
+    # ---- node (i) side: candidate nodes of instance i ----
+    cand_nodes: jnp.ndarray = None    # (C,) int32 global node ids
+    cand_init: jnp.ndarray = None     # (C,) bool
+    cand_twin: jnp.ndarray = None     # (C, VT) int32 element ids whose death
+    #                                   re-exposes this node; -1 padded
+    # ---- j-side surface nodes (for the AABB/broad phase, c_nodes_j) ----
+    jnode_nodes: jnp.ndarray = None   # (Cj,) int32
+    jnode_init: jnp.ndarray = None    # (Cj,) bool
+    jnode_twin: jnp.ndarray = None    # (Cj, VTj) int32
+    jnode_capacity: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class LoweredModel:
+    """Static-shape solver inputs. Mesh axes are the *last* array axes."""
+    # ---- static metadata ----
+    n_node: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_element: int = dataclasses.field(metadata=dict(static=True), default=0)
+    N: int = dataclasses.field(metadata=dict(static=True), default=0)   # padded
+    E: int = dataclasses.field(metadata=dict(static=True), default=0)   # padded
+    dt: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    end_time: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    time_num: int = dataclasses.field(metadata=dict(static=True), default=0)
+    mass_scaling: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    contact_flag: int = dataclasses.field(metadata=dict(static=True), default=0)
+    fracture_enabled: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    element_min_size: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    element_max_size: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    config: SolverConfig = dataclasses.field(metadata=dict(static=True),
+                                             default_factory=SolverConfig)
+
+    # ---- mesh ----
+    coord: jnp.ndarray = None       # (3, N)
+    elem: jnp.ndarray = None        # (8, E) int32, 0-based
+    elem_exists: jnp.ndarray = None  # (E,) bool
+    node_exists: jnp.ndarray = None  # (N,) bool
+    inc_idx: jnp.ndarray = None     # (V, N) int32 into flattened (8*E) Qe
+    inc_mask: jnp.ndarray = None    # (V, N) bool
+    diag_M: jnp.ndarray = None      # (N,) lumped nodal mass (scaled)
+    pusai: jnp.ndarray = None       # (8, 3, 8) shape gradients
+
+    # ---- per-element material ----
+    mat_id: jnp.ndarray = None      # (E,) int32 0-based
+    G_e: jnp.ndarray = None         # (E,)
+    lam_e: jnp.ndarray = None       # (E,)
+    has_plastic_e: jnp.ndarray = None  # (E,) bool
+    yield0_e: jnp.ndarray = None    # (E,)
+
+    # ---- material tables (per material, padded) ----
+    pl_stress: jnp.ndarray = None   # (M, P)
+    pl_strain: jnp.ndarray = None   # (M, P)
+    pl_Hd: jnp.ndarray = None       # (M, max(P-1,1))
+    pl_n: jnp.ndarray = None        # (M,) int32 true rows
+    du_strain: jnp.ndarray = None   # (M, D) fracture strain
+    du_triax: jnp.ndarray = None    # (M, D) triaxiality
+    du_n: jnp.ndarray = None        # (M,) int32 true rows
+
+    # ---- boundary/initial conditions ----
+    bc_node: jnp.ndarray = None     # (K,) int32
+    bc_axis: jnp.ndarray = None     # (K,) int32
+    bc_value: jnp.ndarray = None    # (K,)
+    bc_amp: jnp.ndarray = None      # (K,) int32 amplitude id, -1 = none
+    bc_mask: jnp.ndarray = None     # (K,) bool
+    amp_time: jnp.ndarray = None    # (A, L)
+    amp_value: jnp.ndarray = None   # (A, L)
+    amp_n: jnp.ndarray = None       # (A,) int32 true knots
+    velo0: jnp.ndarray = None       # (3, N) initial velocity
+
+    # ---- contact ----
+    pairs: Tuple[ContactPairArrays, ...] = ()
+
+    @property
+    def dtype(self):
+        return self.coord.dtype
+
+
+def _instance_faces(model: Model, inst_idx: int):
+    """Enumerate all 6*Ej faces of an instance with the reference's node
+    orders and outward orientation (get_element_face, HAKAI_j.jl:1946-1992).
+
+    Returns (faces (F,4) part-local 1-based, face_elem (F,) part-local
+    1-based, exterior (F,) bool, twin_elem (F,) part-local 1-based or 0).
+    """
+    inst = model.instances[inst_idx]
+    part = model.parts[inst.part_id - 1]
+    cd = part.coordmat            # (3, n) part coords (pre-transform, as ref)
+    el = part.elementmat.T        # (Ej, 8) 1-based
+    nE = part.n_element
+
+    faces = el[:, _FACE_SLOTS]                     # (Ej, 6, 4)
+    faces = faces.reshape(nE * 6, 4)
+    face_elem = np.repeat(np.arange(1, nE + 1), 6)
+
+    # outward orientation fix
+    p = cd[:, faces - 1]                           # (3, F, 4)
+    ctr = cd[:, el - 1].mean(axis=2)               # (3, Ej)
+    ctr = np.repeat(ctr, 6, axis=1)                # (3, F)
+    v1 = p[:, :, 1] - p[:, :, 0]
+    v2 = p[:, :, 3] - p[:, :, 0]
+    nv = np.cross(v1.T, v2.T).T                    # (3, F)
+    vc = ctr - p[:, :, 0]
+    flip = (nv * vc).sum(axis=0) > 0.0
+    faces[flip] = faces[flip][:, [0, 3, 2, 1]]
+
+    # dedup by sorted key
+    keys = np.sort(faces, axis=1)
+    _, inv, counts = np.unique(keys, axis=0, return_inverse=True,
+                               return_counts=True)
+    exterior = counts[inv] == 1
+
+    twin_elem = np.zeros(nE * 6, np.int64)
+    order = np.argsort(inv, kind="stable")
+    shared = counts[inv][order] == 2
+    so = order[shared]                             # pairs adjacent in `so`
+    a, b = so[0::2], so[1::2]
+    twin_elem[a] = face_elem[b]
+    twin_elem[b] = face_elem[a]
+    return faces, face_elem, exterior, twin_elem
+
+
+def _cand_nodes(model: Model, inst_idx: int, elements: np.ndarray,
+                face_cache: dict):
+    """Candidate surface nodes of an instance for one contact side.
+
+    ``c_nodes`` of the reference grows monotonically: nodes on initially
+    exterior (CP-filtered) faces, plus — after an element deletion — the
+    nodes of the re-exposed shared faces (add_surface_triangle,
+    HAKAI_j.jl:2167-2245).  A node is therefore active at runtime iff it was
+    initially active or any owner of an internal face containing it has died.
+    Returns (cand (C,), cand_init (C,), cand_twin (C, VT)) with global ids.
+    """
+    faces, face_elem, exterior, twin = face_cache[inst_idx]
+    inst = model.instances[inst_idx]
+    in_cp = np.isin(face_elem, elements)
+    init_rows = exterior & in_cp
+    gn = faces - 1 + inst.node_offset
+    internal = twin > 0
+    cand = np.unique(gn[init_rows | internal])
+    cand_init = np.isin(cand, np.unique(gn[init_rows])) if init_rows.any() \
+        else np.zeros(len(cand), bool)
+    owners: dict = {}
+    g_elem = face_elem - 1 + inst.element_offset
+    g_twin = np.where(twin > 0, twin - 1 + inst.element_offset, -1)
+    for r in np.nonzero(internal)[0]:
+        for nd in gn[r]:
+            s = owners.setdefault(nd, set())
+            s.add(int(g_elem[r]))
+            s.add(int(g_twin[r]))
+    vt = max((len(s) for s in owners.values()), default=1)
+    cand_twin = np.full((len(cand), vt), -1, np.int64)
+    pos = {nd: k for k, nd in enumerate(cand)}
+    for nd, s in owners.items():
+        if nd in pos:
+            cand_twin[pos[nd], :len(s)] = sorted(s)
+    return cand, cand_init, cand_twin
+
+
+def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
+                 elements_i: np.ndarray, elements_j: np.ndarray,
+                 face_cache: dict, dtype) -> ContactPairArrays:
+    """Lower one directional contact pair (global 0-based ids)."""
+    if i_inst not in face_cache:
+        face_cache[i_inst] = _instance_faces(model, i_inst)
+    if j_inst not in face_cache:
+        face_cache[j_inst] = _instance_faces(model, j_inst)
+
+    inst_j = model.instances[j_inst]
+
+    # --- triangle (j) side ---
+    faces, face_elem, exterior, twin = face_cache[j_inst]
+    in_cp = np.isin(face_elem, elements_j)
+    init = exterior & in_cp
+    g_nodes = faces - 1 + inst_j.node_offset                   # (F,4) global
+    g_elem = face_elem - 1 + inst_j.element_offset
+    g_twin = np.where(twin > 0, twin - 1 + inst_j.element_offset, -1)
+    # two triangles per face: (1,2,3) and (3,4,1)  (HAKAI_j.jl:2140-2145)
+    t1 = g_nodes[:, [0, 1, 2]]
+    t2 = g_nodes[:, [2, 3, 0]]
+    tri_nodes = np.stack([t1, t2], axis=1).reshape(-1, 3).T    # (3, 2F)
+    tri_elem = np.repeat(g_elem, 2)
+    tri_init = np.repeat(init, 2)
+    tri_twin = np.repeat(g_twin, 2)
+
+    cand, cand_init, cand_twin = _cand_nodes(model, i_inst, elements_i,
+                                             face_cache)
+    jc, jc_init, jc_twin = _cand_nodes(model, j_inst, elements_j, face_cache)
+
+    # capacities
+    n_tri_init = int(tri_init.sum())
+    t_cap = cfg.contact.tri_capacity or min(
+        tri_nodes.shape[1], _round_up(max(int(2.5 * n_tri_init), 16), 8))
+    n_cap = cfg.contact.node_capacity or min(
+        len(cand), _round_up(max(int(1.8 * cand_init.sum()), 16), 8))
+    jn_cap = cfg.contact.node_capacity or min(
+        len(jc), _round_up(max(int(1.8 * jc_init.sum()), 16), 8))
+
+    young = model.materials[inst_j.material_id - 1].young
+    return ContactPairArrays(
+        i_instance=i_inst, j_instance=j_inst, is_self=(i_inst == j_inst),
+        young=float(young), tri_capacity=t_cap, node_capacity=n_cap,
+        tri_nodes=jnp.asarray(tri_nodes, jnp.int32),
+        tri_elem=jnp.asarray(tri_elem, jnp.int32),
+        tri_init=jnp.asarray(tri_init),
+        tri_twin=jnp.asarray(tri_twin, jnp.int32),
+        cand_nodes=jnp.asarray(cand, jnp.int32),
+        cand_init=jnp.asarray(cand_init),
+        cand_twin=jnp.asarray(cand_twin, jnp.int32),
+        jnode_nodes=jnp.asarray(jc, jnp.int32),
+        jnode_init=jnp.asarray(jc_init),
+        jnode_twin=jnp.asarray(jc_twin, jnp.int32),
+        jnode_capacity=jn_cap,
+    )
+
+
+def _lower_contact(model: Model, cfg: SolverConfig, dtype):
+    """Build the directional pair list (HAKAI_j.jl:243-402)."""
+    if model.contact_flag < 1:
+        return ()
+    ni = len(model.instances)
+    cps = []   # (i1, i2, elements_1, elements_2) with 1-based part-local elsets
+    if len(model.cps) == 0:
+        # ALL EXTERIOR (HAKAI_j.jl:272-314)
+        if ni > 1:
+            for i in range(ni):
+                js = i if model.contact_flag == 2 else i + 1
+                for j in range(js, ni):
+                    cps.append((i, j,
+                                np.arange(1, model.instances[i].n_element + 1),
+                                np.arange(1, model.instances[j].n_element + 1)))
+        else:
+            cps.append((0, 0,
+                        np.arange(1, model.instances[0].n_element + 1),
+                        np.arange(1, model.instances[0].n_element + 1)))
+    else:
+        for cp in model.cps:
+            cps.append((cp.instance_id_1 - 1, cp.instance_id_2 - 1,
+                        np.asarray(cp.elements_1), np.asarray(cp.elements_2)))
+
+    face_cache: dict = {}
+    pairs = []
+    for (i1, i2, els1, els2) in cps:
+        if i1 == i2:
+            directional = [(i1, i2, els1, els2)]
+        else:
+            directional = [(i1, i2, els1, els2), (i2, i1, els2, els1)]
+        for (ii, jj, ei, ej) in directional:
+            pairs.append(_pair_arrays(model, cfg, ii, jj, ei, ej,
+                                      face_cache, dtype))
+    return tuple(pairs)
+
+
+def lower(model: Model, config: SolverConfig | None = None) -> LoweredModel:
+    cfg = config or SolverConfig()
+    dtype = jnp.dtype(cfg.dtype)
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    nN, nE = model.n_node, model.n_element
+    N = _round_up(max(nN, 1), cfg.node_pad)
+    E = _round_up(max(nE, 1), cfg.elem_pad)
+
+    coord = np.zeros((3, N))
+    coord[:, :nN] = model.coordmat
+    elem = np.zeros((8, E), np.int64)
+    elem[:, :nE] = model.elementmat - 1
+    elem_exists = np.zeros(E, bool)
+    elem_exists[:nE] = True
+    node_exists = np.zeros(N, bool)
+    node_exists[:nN] = True
+
+    pusai = pusai_hexa(cfg.integ_num)
+
+    # --- element volumes / lumped mass (HAKAI_j.jl:183-218) ---
+    epos = coord[:, elem[:, :nE]]                        # (3, 8, nE)
+    J = np.einsum("kai,bie->kabe", pusai, epos)          # (8,3,3,nE)
+    detJ = (J[:, 0, 0] * J[:, 1, 1] * J[:, 2, 2]
+            + J[:, 0, 1] * J[:, 1, 2] * J[:, 2, 0]
+            + J[:, 0, 2] * J[:, 1, 0] * J[:, 2, 1]
+            - J[:, 0, 0] * J[:, 1, 2] * J[:, 2, 1]
+            - J[:, 0, 1] * J[:, 1, 0] * J[:, 2, 2]
+            - J[:, 0, 2] * J[:, 1, 1] * J[:, 2, 0])      # (8, nE)
+    volume = detJ.sum(axis=0)                            # (nE,)
+
+    mats = model.materials
+    mat_id = np.zeros(E, np.int64)
+    mat_id[:nE] = model.element_material - 1
+    density_e = np.array([mats[m].density for m in mat_id[:nE]])
+    node_mass_e = density_e * volume / 8.0
+    diag_M = np.ones(N)  # padding nodes get unit mass (never forced)
+    diag_M[:nN] = 0.0
+    np.add.at(diag_M, elem[:, :nE].reshape(-1),
+              np.broadcast_to(node_mass_e, (8, nE)).reshape(-1))
+    diag_M[:nN] *= model.mass_scaling
+    diag_M[nN:] = 1.0
+
+    # --- element sizes (HAKAI_j.jl:405-421) ---
+    p0 = epos[:, 0]
+    L1 = np.linalg.norm(p0 - epos[:, 1], axis=0)
+    L2 = np.linalg.norm(p0 - epos[:, 3], axis=0)
+    L3 = np.linalg.norm(p0 - epos[:, 4], axis=0)
+    sizes = np.stack([L1, L2, L3])
+    element_min_size = float(sizes.min()) if nE else 0.0
+    element_max_size = float(sizes.max()) if nE else 0.0
+
+    # --- time stepping (HAKAI_j.jl:112-117) ---
+    dt = model.d_time * np.sqrt(model.mass_scaling)
+    time_num = int(np.floor(model.end_time / dt)) if dt > 0 else 0
+
+    # --- assembly incidence: node -> (slot i, element e) flattened i*E+e ---
+    counts = np.zeros(N, np.int64)
+    np.add.at(counts, elem[:, :nE].reshape(-1), 1)
+    V = max(int(counts.max()), 1)
+    inc_idx = np.zeros((V, N), np.int64)
+    inc_mask = np.zeros((V, N), bool)
+    flat_nodes = elem[:, :nE].reshape(-1)                      # (8*nE,)
+    flat_src = (np.arange(8)[:, None] * E
+                + np.arange(nE)[None, :]).reshape(-1)          # i*E+e
+    order = np.argsort(flat_nodes, kind="stable")
+    sn, ssrc = flat_nodes[order], flat_src[order]
+    # slot index within each node group (cumcount)
+    starts = np.concatenate([[0], np.nonzero(np.diff(sn))[0] + 1])
+    grp_start = np.repeat(starts, np.diff(np.concatenate([starts, [len(sn)]])))
+    slot = np.arange(len(sn)) - grp_start
+    inc_idx[slot, sn] = ssrc
+    inc_mask[slot, sn] = True
+
+    # --- per-element material constants ---
+    G = np.array([m.G for m in mats]) if mats else np.zeros(1)
+    lam = np.array([m.lam for m in mats]) if mats else np.zeros(1)
+    has_pl = np.array([m.plastic.shape[0] > 0 for m in mats]) if mats else np.zeros(1, bool)
+    y0 = np.array([m.plastic[0, 0] if m.plastic.shape[0] else 0.0 for m in mats]) \
+        if mats else np.zeros(1)
+    G_e = G[mat_id]
+    lam_e = lam[mat_id]
+    has_plastic_e = has_pl[mat_id] & elem_exists
+    yield0_e = y0[mat_id]
+
+    # --- material tables (padded) ---
+    M = max(len(mats), 1)
+    P = max(max((m.plastic.shape[0] for m in mats), default=0), 2)
+    pl_stress = np.zeros((M, P))
+    pl_strain = np.full((M, P), np.inf)
+    pl_Hd = np.zeros((M, P - 1))
+    pl_n = np.zeros(M, np.int64)
+    D = max(max((m.ductile.shape[0] for m in mats), default=0), 1)
+    du_strain = np.zeros((M, D))
+    du_triax = np.zeros((M, D))
+    du_n = np.zeros(M, np.int64)
+    for k, m in enumerate(mats):
+        npp = m.plastic.shape[0]
+        pl_n[k] = npp
+        if npp:
+            pl_stress[k, :npp] = m.plastic[:, 0]
+            pl_strain[k, :npp] = m.plastic[:, 1]
+            if npp > 1:
+                pl_Hd[k, :npp - 1] = m.Hd
+                pl_Hd[k, npp - 1:] = m.Hd[-1]
+        nd = m.ductile.shape[0]
+        du_n[k] = nd
+        if nd:
+            du_strain[k, :nd] = m.ductile[:, 0]
+            du_triax[k, :nd] = m.ductile[:, 1]
+            du_strain[k, nd:] = m.ductile[-1, 0]
+            du_triax[k, nd:] = m.ductile[-1, 1]
+
+    # flag_fracture semantics (HAKAI_j.jl:162-170): set by *Tensile Failure or
+    # a ductile table; at runtime only the ductile path acts (the stress
+    # criterion is commented out at HAKAI_j.jl:686-698).
+    fracture_enabled = bool(any(m.ductile.shape[0] > 0 for m in mats)
+                            or any(m.has_failure_stress for m in mats))
+
+    # --- BCs: flatten + dedupe last-wins (reference applies blocks in order,
+    #     later writes overwrite earlier ones; HAKAI_j.jl:585-617) ---
+    amp_names = [a.name for a in model.amplitudes]
+    entries = {}
+    for bc in model.bcs:
+        amp_id = amp_names.index(bc.amp_name) if bc.amp_name in amp_names else -1
+        for dof, val in zip(bc.dof, bc.value if len(bc.value) == len(bc.dof)
+                            else [bc.value[0]] * len(bc.dof)):
+            for d in dof:
+                node = (int(d) - 1) // 3
+                axis = (int(d) - 1) % 3
+                entries[(axis, node)] = (float(val), amp_id)
+    K = _round_up(max(len(entries), 1), 8)
+    bc_node = np.zeros(K, np.int64)
+    bc_axis = np.zeros(K, np.int64)
+    bc_value = np.zeros(K)
+    bc_amp = np.full(K, -1, np.int64)
+    bc_mask = np.zeros(K, bool)
+    for k, ((axis, node), (val, amp_id)) in enumerate(entries.items()):
+        bc_axis[k], bc_node[k], bc_value[k], bc_amp[k] = axis, node, val, amp_id
+        bc_mask[k] = True
+
+    A = max(len(model.amplitudes), 1)
+    L = max(max((len(a.time) for a in model.amplitudes), default=0), 2)
+    amp_time = np.zeros((A, L))
+    amp_value = np.zeros((A, L))
+    amp_n = np.full(A, 2, np.int64)
+    for k, a in enumerate(model.amplitudes):
+        la = len(a.time)
+        amp_time[k, :la] = a.time
+        amp_value[k, :la] = a.value
+        if la:
+            amp_time[k, la:] = a.time[-1] + np.arange(1, L - la + 1)
+            amp_value[k, la:] = a.value[-1]
+        amp_n[k] = max(la, 2)
+
+    # --- initial velocity (HAKAI_j.jl:232-239) ---
+    velo0 = np.zeros((3, N))
+    for ic in model.ics:
+        for dof, val in zip(ic.dof, ic.value):
+            node = (np.asarray(dof) - 1) // 3
+            axis = (np.asarray(dof) - 1) % 3
+            velo0[axis, node] = val
+
+    pairs = _lower_contact(model, cfg, dtype)
+
+    return LoweredModel(
+        n_node=nN, n_element=nE, N=N, E=E,
+        dt=float(dt), end_time=float(model.end_time), time_num=time_num,
+        mass_scaling=float(model.mass_scaling),
+        contact_flag=int(model.contact_flag),
+        fracture_enabled=fracture_enabled,
+        element_min_size=element_min_size, element_max_size=element_max_size,
+        config=cfg,
+        coord=jnp.asarray(coord, dtype),
+        elem=jnp.asarray(elem, jnp.int32),
+        elem_exists=jnp.asarray(elem_exists),
+        node_exists=jnp.asarray(node_exists),
+        inc_idx=jnp.asarray(inc_idx, jnp.int32),
+        inc_mask=jnp.asarray(inc_mask),
+        diag_M=jnp.asarray(diag_M, dtype),
+        pusai=jnp.asarray(pusai, dtype),
+        mat_id=jnp.asarray(mat_id, jnp.int32),
+        G_e=jnp.asarray(G_e, dtype),
+        lam_e=jnp.asarray(lam_e, dtype),
+        has_plastic_e=jnp.asarray(has_plastic_e),
+        yield0_e=jnp.asarray(yield0_e, dtype),
+        pl_stress=jnp.asarray(pl_stress, dtype),
+        pl_strain=jnp.asarray(pl_strain, dtype),
+        pl_Hd=jnp.asarray(pl_Hd, dtype),
+        pl_n=jnp.asarray(pl_n, jnp.int32),
+        du_strain=jnp.asarray(du_strain, dtype),
+        du_triax=jnp.asarray(du_triax, dtype),
+        du_n=jnp.asarray(du_n, jnp.int32),
+        bc_node=jnp.asarray(bc_node, jnp.int32),
+        bc_axis=jnp.asarray(bc_axis, jnp.int32),
+        bc_value=jnp.asarray(bc_value, dtype),
+        bc_amp=jnp.asarray(bc_amp, jnp.int32),
+        bc_mask=jnp.asarray(bc_mask),
+        amp_time=jnp.asarray(amp_time, dtype),
+        amp_value=jnp.asarray(amp_value, dtype),
+        amp_n=jnp.asarray(amp_n, jnp.int32),
+        velo0=jnp.asarray(velo0, dtype),
+        pairs=pairs,
+    )

@@ -1,0 +1,166 @@
+"""Explicit central-difference time integrator.
+
+One whole time step of the reference loop (HAKAI_j.jl:487-951) as a pure
+jitted ``step(model, state) -> state``:
+
+  contact force -> central-difference displacement update -> boundary
+  conditions (amplitude-scaled, applied to the *new* displacement,
+  HAKAI_j.jl:585-617) -> kinematics update -> element stress + internal
+  force -> triaxiality -> ductile erosion (mask update).
+
+Running a simulation uses ``run()`` which drives jitted multi-step chunks
+from the host and writes VTK frames on the fixed 100-frame schedule
+(HAKAI_j.jl:471-480, 932-942).
+"""
+from __future__ import annotations
+
+import sys
+import time as _time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.lowering import LoweredModel
+from ..core.state import SimState, init_state
+from ..io.vtk import write_vtk
+from ..ops.contact import contact_forces
+from ..ops.element import assemble_internal_force, element_update, triax_stress
+from ..ops.erosion import erode
+from .output import node_fields
+
+
+def amplitude_values(model: LoweredModel, current_time) -> jnp.ndarray:
+    """Piecewise-linear amplitude interpolation (HAKAI_j.jl:586-600).
+
+    Returns one value per amplitude table. Outside all segments the reference
+    falls back to segment 1 (time_index stays 1), i.e. linear extrapolation of
+    the first segment — reproduced by argmax's all-False default of 0.
+    """
+    T, V, n = model.amp_time, model.amp_value, model.amp_n
+    L = T.shape[1]
+    seg_valid = jnp.arange(L - 1)[None, :] < (n[:, None] - 1)
+    inside = (current_time >= T[:, :-1]) & (current_time <= T[:, 1:]) & seg_valid
+    idx = jnp.argmax(inside, axis=1)
+    take = lambda a: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+    t0, t1 = take(T[:, :-1]), take(T[:, 1:])
+    v0, v1 = take(V[:, :-1]), take(V[:, 1:])
+    return v0 + (v1 - v0) * (current_time - t0) / (t1 - t0)
+
+
+def apply_bc(model: LoweredModel, disp_new: jnp.ndarray, current_time):
+    """Prescribe displacements: disp_new[dof] = value * amp (HAKAI_j.jl:612).
+
+    BC entries were deduplicated last-wins at lowering, so the scatter has
+    unique targets and is deterministic.
+    """
+    ampv = amplitude_values(model, current_time)
+    fac = jnp.where(model.bc_amp >= 0,
+                    ampv[jnp.clip(model.bc_amp, 0, None)], 1.0)
+    vals = model.bc_value * fac
+    m8 = model.bc_mask.astype(jnp.int8)
+    dense_m = (jnp.zeros(disp_new.shape, jnp.int8)
+               .at[model.bc_axis, model.bc_node].add(m8)) > 0
+    dense_v = (jnp.zeros_like(disp_new)
+               .at[model.bc_axis, model.bc_node].add(jnp.where(model.bc_mask,
+                                                               vals, 0.0)))
+    return jnp.where(dense_m, dense_v, disp_new)
+
+
+def step(model: LoweredModel, state: SimState) -> SimState:
+    dt = jnp.asarray(model.dt, model.dtype)
+    t = state.t + 1
+    current_time = t.astype(model.dtype) * dt
+
+    external = jnp.zeros_like(state.disp)
+    cforce = state.contact_force
+    if model.pairs:
+        cforce = contact_forces(model, state)
+        external = external + cforce
+
+    # central difference (HAKAI_j.jl:562-567)
+    a1 = model.diag_M / dt**2                       # (N,)
+    a2 = model.diag_M * model.config.damping_C / (2.0 * dt)
+    disp_new = (external - state.Q
+                + a1 * (2.0 * state.disp - state.disp_pre)
+                + a2 * state.disp_pre) / (a1 + a2)
+
+    disp_new = apply_bc(model, disp_new, current_time)
+    disp_new = jnp.where(model.node_exists, disp_new, 0.0)
+
+    d_disp = disp_new - state.disp
+    velo = d_disp / dt
+    position = model.coord + disp_new
+
+    res = element_update(model, position, d_disp, state.stress, state.strain,
+                         state.eq_ps, state.yield_s, state.element_flag)
+    Q = assemble_internal_force(model, res.Qe)
+    triax = triax_stress(res.stress)
+
+    flag = state.element_flag
+    stress, strain = res.stress, res.strain
+    if model.fracture_enabled:
+        er = erode(model, stress, strain, res.eq_ps, triax, flag)
+        flag, stress, strain = er.element_flag, er.stress, er.strain
+
+    return state.replace(
+        t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
+        stress=stress, strain=strain, eq_ps=res.eq_ps, yield_s=res.yield_s,
+        triax=triax, element_flag=flag, contact_force=cforce,
+    )
+
+
+@partial(jax.jit, static_argnums=(2,))
+def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
+    return jax.lax.fori_loop(0, n_steps, lambda _, s: step(model, s), state)
+
+
+def run(model: LoweredModel, state: SimState | None = None,
+        verbose: bool = True, write_output: bool = True):
+    """Whole simulation: time_num steps, 100 VTK frames (HAKAI_j.jl:471-480).
+
+    Returns the final state.
+    """
+    cfg = model.config
+    state = state if state is not None else init_state(model)
+
+    time_num = model.time_num
+    output_num = cfg.output_num
+    d_out = max(time_num // output_num, 1)
+    n_frames = time_num // d_out if time_num else 0
+
+    if write_output:
+        nd = node_fields(model, state.stress, state.strain, state.eq_ps,
+                         state.triax)
+        write_vtk(0, cfg.out_dir, model.coord, model.elem,
+                  np.asarray(state.element_flag), state.disp, state.velo, nd,
+                  model.n_node, model.n_element)
+
+    t0 = _time.time()
+    alive_prev = int(np.asarray(state.element_flag).sum())
+    done = 0
+    i_out = 1
+    while done < time_num:
+        n = min(d_out, time_num - done)
+        state = run_chunk(model, state, n)
+        done += n
+        if cfg.check_nan and not bool(jnp.isfinite(state.disp).all()):
+            raise FloatingPointError(f"NaN/Inf in displacement at step {done}")
+        alive = int(np.asarray(state.element_flag).sum())
+        if verbose and alive != alive_prev:
+            print(f"Element deleted:{alive}/{model.n_element}")
+            alive_prev = alive
+        if verbose:
+            sys.stdout.write(f"\r{done * model.dt:.4e} / {model.end_time:.4e}     ")
+            sys.stdout.flush()
+        if write_output and done % d_out == 0 and i_out <= n_frames:
+            nd = node_fields(model, state.stress, state.strain, state.eq_ps,
+                             state.triax)
+            write_vtk(i_out, cfg.out_dir, model.coord, model.elem,
+                      np.asarray(state.element_flag), state.disp, state.velo,
+                      nd, model.n_node, model.n_element)
+            i_out += 1
+    if verbose:
+        print(f"\nwall: {_time.time() - t0:.2f}s for {time_num} steps")
+    return state
