@@ -36,6 +36,18 @@ def _node_active(flag, init, twins):
     return init | tw_dead.any(axis=1)
 
 
+def _compact(mask: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Indices of the first ``cap`` True entries (in order), 0-padded.
+
+    cumsum+scatter formulation — compiles leaner on TPU than jnp.nonzero.
+    """
+    F = mask.shape[0]
+    pos = jnp.cumsum(mask) - 1
+    tgt = jnp.where(mask, pos, cap)
+    return jnp.zeros(cap, jnp.int32).at[tgt].set(
+        jnp.arange(F, dtype=jnp.int32), mode="drop")
+
+
 def _masked_minmax(x, valid):
     big = jnp.asarray(jnp.inf, x.dtype)
     mn = jnp.where(valid, x, big).min(axis=-1)
@@ -62,18 +74,18 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
     nj_active = _node_active(flag, pair.jnode_init, pair.jnode_twin)
 
     T = pair.tri_capacity
-    tri_sel, = jnp.nonzero(tri_active, size=T, fill_value=0)
+    tri_sel = _compact(tri_active, T)
     tvalid = jnp.arange(T) < tri_active.sum()
     tn = pair.tri_nodes[:, tri_sel]                  # (3 vert, T)
     telem = pair.tri_elem[tri_sel]                   # (T,)
 
     C = pair.node_capacity
-    nsel, = jnp.nonzero(ni_active, size=C, fill_value=0)
+    nsel = _compact(ni_active, C)
     nvalid = jnp.arange(C) < ni_active.sum()
     n_ids = pair.cand_nodes[nsel]                    # (C,)
 
     Cj = pair.jnode_capacity
-    jsel, = jnp.nonzero(nj_active, size=Cj, fill_value=0)
+    jsel = _compact(nj_active, Cj)
     jvalid = jnp.arange(Cj) < nj_active.sum()
     j_ids = pair.jnode_nodes[jsel]
 

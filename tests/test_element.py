@@ -1,0 +1,191 @@
+"""Element kernel unit tests: shape functions, patch tests, radial return."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hakai_tpu.config import SolverConfig
+from hakai_tpu.core.lowering import lower
+from hakai_tpu.core.state import init_state
+from hakai_tpu.io.model import Model, Part, Instance, Material
+from hakai_tpu.ops.shape import pusai_hexa
+from hakai_tpu.ops.element import element_update, assemble_internal_force, triax_stress
+
+
+def unit_cube_model(young=200.0, poisson=0.3, plastic=None, density=1.0,
+                    nx=1, ny=1, nz=1, lx=1.0, ly=1.0, lz=1.0):
+    """Structured hex mesh model without BCs."""
+    xs = np.linspace(0, lx, nx + 1)
+    ys = np.linspace(0, ly, ny + 1)
+    zs = np.linspace(0, lz, nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    coord = np.stack([X.ravel(), Y.ravel(), Z.ravel()])  # (3, n)
+    def nid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k + 1
+    elems = []
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                elems.append([nid(i, j, k), nid(i+1, j, k), nid(i+1, j+1, k),
+                              nid(i, j+1, k), nid(i, j, k+1), nid(i+1, j, k+1),
+                              nid(i+1, j+1, k+1), nid(i, j+1, k+1)])
+    elem = np.asarray(elems).T
+    mt = Material(name="m", density=density, young=young, poisson=poisson)
+    if plastic is not None:
+        mt.plastic = np.asarray(plastic, float)
+        p = mt.plastic
+        mt.Hd = (p[1:, 0] - p[:-1, 0]) / (p[1:, 1] - p[:-1, 1])
+    part = Part(name="p", n_node=coord.shape[1], coordmat=coord,
+                n_element=elem.shape[1], elementmat=elem,
+                material_name="m", material_id=1)
+    inst = Instance(name="p-1", part_name="p", part_id=1, material_id=1,
+                    n_node=coord.shape[1], n_element=elem.shape[1])
+    m = Model(parts=[part], instances=[inst], materials=[mt],
+              n_node=coord.shape[1], coordmat=coord,
+              n_element=elem.shape[1], elementmat=elem,
+              element_material=np.ones(elem.shape[1], np.int64),
+              element_instance=np.ones(elem.shape[1], np.int64),
+              d_time=1e-3, end_time=1.0)
+    return m
+
+
+def test_pusai_partition_of_unity():
+    P = pusai_hexa(8)
+    # gradients of sum of shape functions vanish
+    np.testing.assert_allclose(P.sum(axis=2), 0.0, atol=1e-15)
+    # linear completeness: sum_i dN_i/dxi * xi_i = identity
+    from hakai_tpu.ops.shape import _DELTA
+    J = np.einsum("kai,ib->kab", P, _DELTA)
+    for k in range(8):
+        np.testing.assert_allclose(J[k], np.eye(3), atol=1e-15)
+
+
+def test_element_volume_and_mass():
+    m = unit_cube_model(density=7.8, lx=2.0, ly=3.0, lz=4.0)
+    lm = lower(m)
+    # total mass = rho * V, equally lumped
+    total = float(np.asarray(lm.diag_M)[np.asarray(lm.node_exists)].sum())
+    np.testing.assert_allclose(total, 7.8 * 24.0, rtol=1e-12)
+
+
+def test_uniaxial_elastic_stress():
+    """Single element, uniform z-stretch: sigma matches D @ eps exactly."""
+    m = unit_cube_model(young=100.0, poisson=0.25)
+    lm = lower(m)
+    st = init_state(lm)
+    eps = 1e-3
+    d_disp = jnp.zeros((3, lm.N)).at[2].set(eps * lm.coord[2])
+    position = lm.coord + d_disp
+    res = element_update(lm, position, d_disp, st.stress, st.strain,
+                         st.eq_ps, st.yield_s, st.element_flag)
+    E, nu = 100.0, 0.25
+    c = E / (1 + nu) / (1 - 2 * nu)
+    # gradients are taken at the deformed configuration (updated Lagrangian,
+    # cal_stress_hexa uses the current position, HAKAI_j.jl:1147-1200)
+    eps = eps / (1 + eps)
+    sig_z = c * (1 - nu) * eps
+    sig_xy = c * nu * eps
+    s = np.asarray(res.stress[:, :, 0])
+    np.testing.assert_allclose(s[2], sig_z, rtol=1e-9)
+    np.testing.assert_allclose(s[0], sig_xy, rtol=1e-9)
+    np.testing.assert_allclose(s[1], sig_xy, rtol=1e-9)
+    np.testing.assert_allclose(s[3:], 0.0, atol=1e-12)
+    # strain accumulated
+    np.testing.assert_allclose(np.asarray(res.strain[2, :, 0]), eps, rtol=1e-9)
+
+
+def test_rigid_translation_no_stress():
+    m = unit_cube_model()
+    lm = lower(m)
+    st = init_state(lm)
+    d_disp = jnp.ones((3, lm.N)) * 0.37
+    res = element_update(lm, lm.coord + d_disp, d_disp, st.stress, st.strain,
+                         st.eq_ps, st.yield_s, st.element_flag)
+    np.testing.assert_allclose(np.asarray(res.stress), 0.0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(res.Qe), 0.0, atol=1e-10)
+
+
+def test_internal_force_equilibrium():
+    """Assembled internal force sums to zero (self-equilibrated)."""
+    m = unit_cube_model(nx=2, ny=2, nz=2)
+    lm = lower(m)
+    st = init_state(lm)
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.normal(0, 1e-4, (3, lm.N)))
+    res = element_update(lm, lm.coord + d, d, st.stress, st.strain,
+                         st.eq_ps, st.yield_s, st.element_flag)
+    Q = assemble_internal_force(lm, res.Qe)
+    np.testing.assert_allclose(np.asarray(Q).sum(axis=1), 0.0, atol=1e-12)
+
+
+def test_radial_return_uniaxial():
+    """1-element tension past yield: follows the hardening table.
+
+    Analytic: with the B-bar formulation a prescribed uniform strain gives a
+    trial stress; if vm > y the update is d_ep=(vm-y)/(3G+H), y+=H*d_ep
+    (HAKAI_j.jl:1254-1285).
+    """
+    table = [[10.0, 0.0], [20.0, 1.0]]  # yield 10, H = 10
+    m = unit_cube_model(young=1000.0, poisson=0.0, plastic=table)
+    lm = lower(m)
+    st = init_state(lm)
+    eps = 0.05  # big single step, elastic trial vm = E*eps = 50 > 10
+    d_disp = jnp.zeros((3, lm.N)).at[2].set(eps * lm.coord[2])
+    res = element_update(lm, lm.coord + d_disp, d_disp, st.stress, st.strain,
+                         st.eq_ps, st.yield_s, st.element_flag)
+    E, G, H, y0 = 1000.0, 500.0, 10.0, 10.0
+    vm_trial = E * eps / (1 + eps)  # nu=0 uniaxial, deformed-config gradient
+    d_ep = (vm_trial - y0) / (3 * G + H)
+    y_new = y0 + H * d_ep
+    np.testing.assert_allclose(np.asarray(res.eq_ps[:, 0]), d_ep, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.yield_s[:, 0]), y_new, rtol=1e-12)
+    # returned stress: dev scaled to the new yield surface
+    s = np.asarray(res.stress[:, 0, 0])
+    mean = vm_trial / 3
+    np.testing.assert_allclose(s[2], mean + (2 / 3) * vm_trial * (y_new / vm_trial),
+                               rtol=1e-12)
+
+
+def test_hardening_segment_lookup():
+    """eq_ps selects the right H segment (first j with eq<=table, minus 1)."""
+    table = [[10.0, 0.0], [20.0, 0.1], [22.0, 0.3]]
+    m = unit_cube_model(young=1000.0, poisson=0.0, plastic=table)
+    lm = lower(m)
+    st = init_state(lm)
+    # preload eq_ps into segment 2 (H = (22-20)/0.2 = 10)
+    eq = jnp.full((8, lm.E), 0.2)
+    y = jnp.full((8, lm.E), 20.0)
+    eps = 0.05
+    d_disp = jnp.zeros((3, lm.N)).at[2].set(eps * lm.coord[2])
+    res = element_update(lm, lm.coord + d_disp, d_disp, st.stress, st.strain,
+                         eq, y, st.element_flag)
+    H = 10.0
+    d_ep = (1000 * eps / (1 + eps) - 20.0) / (3 * 500.0 + H)
+    np.testing.assert_allclose(np.asarray(res.eq_ps[:, 0]), 0.2 + d_ep, rtol=1e-12)
+
+
+def test_triax_matches_eig_formulation():
+    rng = np.random.default_rng(1)
+    s6 = rng.normal(size=(6, 8, 4))
+    tx = np.asarray(triax_stress(jnp.asarray(s6)))
+    for k in range(8):
+        for e in range(4):
+            sx, sy, sz, txy, tyz, txz = s6[:, k, e]
+            T = np.array([[sx, txy, txz], [txy, sy, tyz], [txz, tyz, sz]])
+            p = np.linalg.eigvalsh(T)
+            oeq = np.sqrt(0.5 * ((p[0]-p[1])**2 + (p[1]-p[2])**2 + (p[2]-p[0])**2))
+            expect = 0.0 if oeq < 1e-10 else p.sum() / 3 / oeq
+            np.testing.assert_allclose(tx[k, e], expect, rtol=1e-10)
+
+
+def test_dead_element_frozen():
+    m = unit_cube_model(nx=2)
+    lm = lower(m)
+    st = init_state(lm)
+    flag = jnp.asarray(np.array([True, False] + [False] * (lm.E - 2)))
+    d = jnp.ones((3, lm.N)) * 1e-3
+    stress0 = jnp.full((6, 8, lm.E), 5.0)
+    res = element_update(lm, lm.coord + d, d, stress0, st.strain,
+                         st.eq_ps, st.yield_s, flag)
+    # dead element keeps its stress, contributes no force
+    np.testing.assert_allclose(np.asarray(res.stress[:, :, 1]), 5.0)
+    np.testing.assert_allclose(np.asarray(res.Qe[:, :, 1]), 0.0)
