@@ -92,6 +92,11 @@ class LoweredModel:
     element_max_size: float = dataclasses.field(metadata=dict(static=True), default=0.0)
     config: SolverConfig = dataclasses.field(metadata=dict(static=True),
                                              default_factory=SolverConfig)
+    # static copies of the (tiny) material tables, so hot loops can unroll
+    # them into scalar constants instead of per-element table gathers:
+    # pl_tables[m] = ((stress, strain), ...); du_tables[m] = ((fr, triax), ...)
+    pl_tables: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    du_tables: tuple = dataclasses.field(metadata=dict(static=True), default=())
 
     # ---- mesh ----
     coord: jnp.ndarray = None       # (3, N)
@@ -479,7 +484,13 @@ def lower(model: Model, config: SolverConfig | None = None) -> LoweredModel:
 
     pairs = _lower_contact(model, cfg, dtype)
 
+    pl_tables = tuple(tuple((float(r[0]), float(r[1])) for r in m.plastic)
+                      for m in mats)
+    du_tables = tuple(tuple((float(r[0]), float(r[1])) for r in m.ductile)
+                      for m in mats)
+
     return LoweredModel(
+        pl_tables=pl_tables, du_tables=du_tables,
         n_node=nN, n_element=nE, N=N, E=E,
         dt=float(dt), end_time=float(model.end_time), time_num=time_num,
         mass_scaling=float(model.mass_scaling),

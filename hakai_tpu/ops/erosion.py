@@ -33,32 +33,28 @@ def erode(model: LoweredModel,
     v_e = eq_ps.mean(axis=0)     # (E,)
     t_e = triax.mean(axis=0)     # (E,)
 
+    # Fracture-strain interpolation on triaxiality, unrolled per material with
+    # scalar-constant table knots (no per-element table gathers).  Default is
+    # the last row's strain (HAKAI_j.jl:725); rows interpolate on
+    # t0 <= t_e < t1 (HAKAI_j.jl:726-731).
     mat = model.mat_id
-    fr_tab = model.du_strain[mat]        # (E, D)
-    tx_tab = model.du_triax[mat]         # (E, D)
-    nd = model.du_n[mat]                 # (E,)
-    has_ductile = nd > 0
-
-    D = fr_tab.shape[1]
-    # default: last true row's strain (HAKAI_j.jl:725); tables are padded by
-    # repeating the last row so index D-1 equals the last true row.
-    fr_def = fr_tab[:, D - 1]
-    if D > 1:
-        t0, t1 = tx_tab[:, :-1], tx_tab[:, 1:]
-        f0, f1 = fr_tab[:, :-1], fr_tab[:, 1:]
-        seg = (t_e[:, None] >= t0) & (t_e[:, None] < t1)    # (E, D-1)
-        denom = jnp.where(t1 == t0, 1.0, t1 - t0)
-        interp = f0 + (f1 - f0) / denom * (t_e[:, None] - t0)
-        any_seg = seg.any(axis=1)
-        # first matching segment (segments are disjoint for increasing triax)
-        fr_e = jnp.where(any_seg,
-                         jnp.where(seg, interp, 0.0).sum(axis=1)
-                         / jnp.maximum(seg.sum(axis=1), 1),
-                         fr_def)
-    else:
-        fr_e = fr_def
-
-    delete = (has_ductile & (t_e >= 0.0) & (v_e >= fr_e) & element_flag)
+    delete = jnp.zeros(v_e.shape, bool)
+    for m, tab in enumerate(model.du_tables):
+        nd = len(tab)
+        if nd == 0:
+            continue
+        fr_m = jnp.asarray(tab[nd - 1][0], v_e.dtype)
+        for j in range(nd - 1):
+            f0, t0 = tab[j]
+            f1, t1 = tab[j + 1]
+            if t1 == t0:
+                continue
+            seg = (t_e >= t0) & (t_e < t1)
+            fr_m = jnp.where(seg, f0 + (f1 - f0) / (t1 - t0) * (t_e - t0),
+                             fr_m)
+        delete_m = (t_e >= 0.0) & (v_e >= fr_m)
+        delete = jnp.where(mat == m, delete_m, delete)
+    delete = delete & element_flag
     new_flag = element_flag & ~delete
     z = ~delete[None, None, :]
     return ErosionResult(new_flag,
