@@ -1,19 +1,22 @@
 """Headline benchmark: hex8 element-steps/second on the flagship
-elastoplastic tensile bar (no contact — the element kernel is the reference's
-hot loop #1, cal_stress_hexa at HAKAI_j.jl:1033).
+elastoplastic tensile bar (the element kernel is the reference's hot loop #1,
+cal_stress_hexa at HAKAI_j.jl:1033; no contact in this config).
+
+Timing is slope-based — (T(n2 steps) - T(n1 steps)) / (n2 - n1) — so constant
+dispatch/transfer latency cancels.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline = value / 1e9 (the BASELINE.json north-star for a v5e-8;
-this runs on however many chips are visible).
+vs_baseline = value / 1e9 (BASELINE.json north-star for a v5e-8; this runs on
+however many chips are visible).
 """
 import json
 import os
 import time
 
-import jax
-
 
 def main():
+    import jax.numpy as jnp
+
     from hakai_tpu.config import SolverConfig
     from hakai_tpu.core.lowering import lower
     from hakai_tpu.core.state import init_state
@@ -23,25 +26,30 @@ def main():
     nx = int(os.environ.get("BENCH_NX", 32))
     ny = int(os.environ.get("BENCH_NY", 32))
     nz = int(os.environ.get("BENCH_NZ", 128))
-    steps = int(os.environ.get("BENCH_STEPS", 100))
+    n1 = int(os.environ.get("BENCH_N1", 50))
+    n2 = int(os.environ.get("BENCH_N2", 400))
     cfg = SolverConfig(dtype="float32", node_pad=128, elem_pad=128)
     model = lower(bar_model(nx=nx, ny=ny, nz=nz, d_time=1e-8, end_time=1.0),
                   cfg)
-    n_elem = model.n_element
     state = init_state(model)
 
-    # warmup + compile
-    state = run_chunk(model, state, steps)
-    state.disp.block_until_ready()
+    def run_sync(s, k):
+        s = run_chunk(model, s, k)
+        _ = float(jnp.sum(s.disp))   # scalar readback forces completion
+        return s
 
+    # compile both chunk sizes
+    state = run_sync(state, n1)
+    state = run_sync(state, n2)
     t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        state = run_chunk(model, state, steps)
-    state.disp.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    state = run_sync(state, n1)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state = run_sync(state, n2)
+    t2 = time.perf_counter() - t0
+    per_step = (t2 - t1) / (n2 - n1)
 
-    eps = n_elem * steps / dt
+    eps = model.n_element / per_step
     print(json.dumps({
         "metric": "hex8_element_steps_per_sec",
         "value": eps,

@@ -38,3 +38,5 @@ class SolverConfig:
     out_dir: str = "temp"        # VTK output directory (reference: "temp\\")
     steps_per_call: int | None = None  # host-loop chunk; None = d_out
     check_nan: bool = False      # abort-on-NaN guard between chunks
+    gather_mode: str = "auto"    # "auto" | "xla": mesh gathers via the Pallas
+    #                              blocked-gather kernel when plans fit (TPU)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..config import SolverConfig
 from ..io.model import Model
+from ..ops.gather_pallas import GatherPlan, plan_blocked_gather
 from ..ops.shape import pusai_hexa
 
 # face -> local node slots, with the reference's node orders
@@ -137,6 +138,16 @@ class LoweredModel:
 
     # ---- contact ----
     pairs: Tuple[ContactPairArrays, ...] = ()
+
+    # ---- Pallas blocked-gather plans (None -> XLA gather fallback) ----
+    # nodal -> element gather of stacked (position, d_disp): (6,N) -> (6,8E)
+    plan_pos: GatherPlan | None = None
+    # slot-pure assembly gather: (3,8E) -> (3, VL*N); lane v reads
+    # Qe[slot, e_v(n)] — a node is the same local corner of at most
+    # `dup` elements per lane, so assembly needs no scatter at all.
+    plan_asm: GatherPlan | None = None
+    asm_mask: jnp.ndarray = None    # (VL, N) bool
+    asm_vl: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def dtype(self):
@@ -489,6 +500,38 @@ def lower(model: Model, config: SolverConfig | None = None) -> LoweredModel:
     du_tables = tuple(tuple((float(r[0]), float(r[1])) for r in m.ductile)
                       for m in mats)
 
+    # --- Pallas blocked-gather plans (ops/gather_pallas.py) ---
+    plan_pos = plan_asm = None
+    asm_mask = None
+    asm_vl = 0
+    if cfg.gather_mode != "xla":
+        plan_pos = plan_blocked_gather(elem.reshape(-1), N)
+        # slot-pure assembly lanes: lane (slot i, dup d) holds at most one
+        # incident element per node
+        lanes = []
+        for i in range(8):
+            nodes_i = elem[i, :nE]
+            order = np.argsort(nodes_i, kind="stable")
+            sn = nodes_i[order]
+            st = np.concatenate([[0], np.nonzero(np.diff(sn))[0] + 1]) \
+                if len(sn) else np.zeros(0, np.int64)
+            grp = np.repeat(st, np.diff(np.concatenate([st, [len(sn)]]))) \
+                if len(sn) else np.zeros(0, np.int64)
+            rank = np.arange(len(sn)) - grp
+            maxdup = int(rank.max()) + 1 if len(sn) else 1
+            for d in range(maxdup):
+                sel = rank == d
+                idx_arr = np.zeros(N, np.int64)
+                msk = np.zeros(N, bool)
+                idx_arr[sn[sel]] = i * E + order[sel]
+                msk[sn[sel]] = True
+                lanes.append((idx_arr, msk))
+        asm_vl = len(lanes)
+        asm_idx = np.concatenate([l[0] for l in lanes])
+        asm_mask = np.stack([l[1] for l in lanes])
+        plan_asm = plan_blocked_gather(asm_idx, 8 * E,
+                                       valid=asm_mask.reshape(-1))
+
     return LoweredModel(
         pl_tables=pl_tables, du_tables=du_tables,
         n_node=nN, n_element=nE, N=N, E=E,
@@ -528,4 +571,8 @@ def lower(model: Model, config: SolverConfig | None = None) -> LoweredModel:
         amp_n=jnp.asarray(amp_n, jnp.int32),
         velo0=jnp.asarray(velo0, dtype),
         pairs=pairs,
+        plan_pos=plan_pos,
+        plan_asm=plan_asm,
+        asm_mask=(jnp.asarray(asm_mask) if asm_mask is not None else None),
+        asm_vl=asm_vl,
     )

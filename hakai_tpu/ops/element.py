@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.lowering import LoweredModel
+from .gather_pallas import blocked_gather
 from .shape import pusai_hexa
 
 # static shape-gradient coefficients, unrolled at trace time
@@ -117,8 +118,15 @@ def element_update(model: LoweredModel,
                    ) -> ElementResult:
     dtype = position.dtype
     elem = model.elem                         # (8, E)
-    pos_e = position[:, elem]                 # (3, 8, E)
-    du = d_disp[:, elem]                      # (3, 8, E)
+    E = elem.shape[1]
+    if model.plan_pos is not None:
+        g6 = blocked_gather(jnp.concatenate([position, d_disp], axis=0),
+                            model.plan_pos)           # (6, 8E)
+        pos_e = g6[:3].reshape(3, 8, E)
+        du = g6[3:].reshape(3, 8, E)
+    else:
+        pos_e = position[:, elem]                 # (3, 8, E)
+        du = d_disp[:, elem]                      # (3, 8, E)
 
     J = _jacobian(pos_e, dtype)
     detJ = _det3(J)                                     # (8, E) raw (signed)
@@ -239,6 +247,10 @@ def assemble_internal_force(model: LoweredModel, Qe: jnp.ndarray) -> jnp.ndarray
     each node sums its (element, slot) contributions in a fixed order.
     """
     qf = Qe.reshape(3, -1)                   # (3, 8*E), index i*E+e
+    if model.plan_asm is not None:
+        vals = blocked_gather(qf, model.plan_asm)         # (3, VL*N)
+        vals = vals.reshape(3, model.asm_vl, model.N)
+        return jnp.where(model.asm_mask[None], vals, 0.0).sum(axis=1)
     gathered = qf[:, model.inc_idx]          # (3, V, N)
     return jnp.where(model.inc_mask[None], gathered, 0.0).sum(axis=1)
 

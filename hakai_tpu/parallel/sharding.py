@@ -44,6 +44,13 @@ _STATE_ELEM_FIELDS = ("stress", "strain", "eq_ps", "yield_s", "triax",
                       "element_flag")
 
 
+def _strip_plans(model: LoweredModel) -> LoweredModel:
+    """Remove single-chip Pallas gather plans: the sharded path gathers with
+    XLA per shard (per-shard plans are a planned follow-up)."""
+    return dataclasses.replace(model, plan_pos=None, plan_asm=None,
+                               asm_mask=None, asm_vl=0)
+
+
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = n_devices or len(devices)
@@ -148,13 +155,13 @@ def make_sharded_step(model: LoweredModel, mesh: Mesh, n_steps: int = 1):
     n = mesh.devices.size
     if model.E % n:
         raise ValueError(f"E={model.E} not divisible by mesh size {n}")
+    model = _strip_plans(model)
     mspec = model_specs(model)
     sspec = state_specs()
 
     def body(m, s):
-        for _ in range(n_steps):
-            s = _sharded_step(m, s)
-        return s
+        return jax.lax.fori_loop(0, n_steps,
+                                 lambda _, t: _sharded_step(m, t), s)
 
     # check_vma=False: contact's lax.cond mixes device-varying (gathered
     # element flags) and invariant operands; correctness of replication is
@@ -172,6 +179,7 @@ def make_sharded_step(model: LoweredModel, mesh: Mesh, n_steps: int = 1):
 
 def shard_arrays(model: LoweredModel, state: SimState, mesh: Mesh):
     """Place model/state on the mesh with the canonical shardings."""
+    model = _strip_plans(model)
     mspec, sspec = model_specs(model), state_specs()
 
     def put(x, spec):

@@ -40,12 +40,19 @@ def amplitude_values(model: LoweredModel, current_time) -> jnp.ndarray:
     """
     T, V, n = model.amp_time, model.amp_value, model.amp_n
     L = T.shape[1]
-    seg_valid = jnp.arange(L - 1)[None, :] < (n[:, None] - 1)
-    inside = (current_time >= T[:, :-1]) & (current_time <= T[:, 1:]) & seg_valid
-    idx = jnp.argmax(inside, axis=1)
-    take = lambda a: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
-    t0, t1 = take(T[:, :-1]), take(T[:, 1:])
-    v0, v1 = take(V[:, :-1]), take(V[:, 1:])
+    # unrolled first-match segment scan (amplitude tables are tiny); avoids
+    # gathers entirely
+    t0, t1 = T[:, 0], T[:, 1]
+    v0, v1 = V[:, 0], V[:, 1]
+    found = jnp.zeros(T.shape[0], bool)
+    for j in range(L - 1):
+        inside = ((current_time >= T[:, j]) & (current_time <= T[:, j + 1])
+                  & (j < n - 1) & ~found)
+        t0 = jnp.where(inside, T[:, j], t0)
+        t1 = jnp.where(inside, T[:, j + 1], t1)
+        v0 = jnp.where(inside, V[:, j], v0)
+        v1 = jnp.where(inside, V[:, j + 1], v1)
+        found = found | inside
     return v0 + (v1 - v0) * (current_time - t0) / (t1 - t0)
 
 
