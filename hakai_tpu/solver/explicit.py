@@ -129,6 +129,8 @@ def run(model: LoweredModel, state: SimState | None = None,
 
     Returns the final state.
     """
+    from ..utils.metrics import MetricsWriter
+
     cfg = model.config
     state = state if state is not None else init_state(model)
 
@@ -136,6 +138,7 @@ def run(model: LoweredModel, state: SimState | None = None,
     output_num = cfg.output_num
     d_out = max(time_num // output_num, 1)
     n_frames = time_num // d_out if time_num else 0
+    metrics = MetricsWriter(cfg.metrics_path)
 
     if write_output:
         nd = node_fields(model, state.stress, state.strain, state.eq_ps,
@@ -161,13 +164,21 @@ def run(model: LoweredModel, state: SimState | None = None,
         if verbose:
             sys.stdout.write(f"\r{done * model.dt:.4e} / {model.end_time:.4e}     ")
             sys.stdout.flush()
+        if cfg.metrics_path is not None:
+            metrics.record(model, state, done, _time.time() - t0)
         if write_output and done % d_out == 0 and i_out <= n_frames:
             nd = node_fields(model, state.stress, state.strain, state.eq_ps,
                              state.triax)
             write_vtk(i_out, cfg.out_dir, model.coord, model.elem,
                       np.asarray(state.element_flag), state.disp, state.velo,
                       nd, model.n_node, model.n_element)
+            if cfg.checkpoint_every and i_out % cfg.checkpoint_every == 0:
+                from ..utils.checkpoint import save_checkpoint
+                save_checkpoint(cfg.checkpoint_path
+                                or f"{cfg.out_dir}/ckpt_{i_out:03d}.npz",
+                                state)
             i_out += 1
+    metrics.close()
     if verbose:
         print(f"\nwall: {_time.time() - t0:.2f}s for {time_num} steps")
     return state
