@@ -21,6 +21,7 @@ from .model import (
     BC, IC, Amplitude, ContactPair, Elset, Instance, Material, Model, Nset,
     Part, Surface,
 )
+from .native import parse_numbers
 
 
 def _after(s: str, key: str) -> str:
@@ -66,11 +67,9 @@ def parse_inp_lines(lines: List[str]) -> Model:
                 break
             n_node += 1
         part.n_node = n_node
-        coord = np.zeros((n_node, 3))
-        for i in range(n_node):
-            ss = _split(lines[index + 1 + i])
-            coord[i] = [float(ss[1]), float(ss[2]), float(ss[3])]
-        part.coordmat = np.ascontiguousarray(coord.T)  # (3, n_node)
+        block = "\n".join(lines[index + 1: index + 1 + n_node])
+        coord = parse_numbers(block, expect=n_node * 4).reshape(n_node, 4)
+        part.coordmat = np.ascontiguousarray(coord[:, 1:4].T)  # (3, n_node)
 
         # *Element block
         index = next(i for i in range(pi, n) if "*Element" in lines[i])
@@ -80,10 +79,9 @@ def parse_inp_lines(lines: List[str]) -> Model:
                 break
             n_elem += 1
         part.n_element = n_elem
-        elem = np.zeros((n_elem, 8), np.int64)
-        for i in range(n_elem):
-            ss = _split(lines[index + 1 + i])
-            elem[i] = [int(v) for v in ss[1:9]]
+        block = "\n".join(lines[index + 1: index + 1 + n_elem])
+        elem = parse_numbers(block, expect=n_elem * 9).reshape(n_elem, 9)
+        elem = elem[:, 1:9].astype(np.int64)
         part.elementmat = np.ascontiguousarray(elem.T)  # (8, n_elem)
 
         # part-level *Nset: only the "generate" form (readInpFile_j.jl:262-290)

@@ -20,10 +20,7 @@ import os
 
 import numpy as np
 
-try:                                    # optional native serializer
-    from . import _native_vtk           # type: ignore
-except Exception:                       # pragma: no cover
-    _native_vtk = None
+from .native import format_e_rows, format_i_rows
 
 
 def _flush_small(a: np.ndarray) -> np.ndarray:
@@ -31,12 +28,8 @@ def _flush_small(a: np.ndarray) -> np.ndarray:
 
 
 def _fmt_block(a: np.ndarray) -> str:
-    """C-formatted '%1.6e' rows."""
-    if a.ndim == 1:
-        a = a[:, None]
-    buf = io.StringIO()
-    np.savetxt(buf, a, fmt="%1.6e", delimiter=" ")
-    return buf.getvalue()
+    """C-formatted '%1.6e' rows (native fast path when built)."""
+    return format_e_rows(np.asarray(a))
 
 
 def write_vtk(index: int, out_dir: str, coord: np.ndarray, elem: np.ndarray,
@@ -69,11 +62,8 @@ def write_vtk(index: int, out_dir: str, coord: np.ndarray, elem: np.ndarray,
     parts.append(_fmt_block(coord.T))
     parts.append(f"CELLS {n_alive} {n_alive * 9}\n")
     cells = elem[:, alive].T                      # (n_alive, 8)
-    buf = io.StringIO()
-    np.savetxt(buf, np.concatenate(
-        [np.full((n_alive, 1), 8, np.int64), cells], axis=1), fmt="%d",
-        delimiter=" ")
-    parts.append(buf.getvalue())
+    parts.append(format_i_rows(np.concatenate(
+        [np.full((n_alive, 1), 8, np.int64), cells], axis=1)))
     parts.append(f"CELL_TYPES {n_alive}\n")
     parts.append("12\n" * n_alive)
     parts.append(f"POINT_DATA {n_node}\n")
