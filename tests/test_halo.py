@@ -1,0 +1,50 @@
+"""Halo-exchange node-sharded step vs single-device reference."""
+import jax
+import numpy as np
+import pytest
+
+from hakai_tpu.config import SolverConfig
+from hakai_tpu.core.lowering import lower
+from hakai_tpu.core.state import init_state
+from hakai_tpu.io.model import IC
+from hakai_tpu.parallel.halo import (gather_state, init_halo_state,
+                                     make_halo_step, partition)
+from hakai_tpu.parallel.sharding import make_mesh
+from hakai_tpu.solver.explicit import run_chunk
+from test_element import unit_cube_model
+
+
+def _bar():
+    m = unit_cube_model(nx=32, ny=2, nz=2, lx=32.0,
+                        plastic=[[0.5, 0.0], [1.0, 1.0]])
+    dofs = np.arange(1, m.n_node * 3 + 1, 3) + 2
+    m.ics.append(IC(type="VELOCITY", dof=[dofs], value=[3.0]))
+    m.d_time = 1e-3
+    m.end_time = 1.0
+    return m
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_halo_matches_single_device():
+    m = _bar()
+    cfg = SolverConfig(node_pad=8 * 8, elem_pad=8)
+    lm = lower(m, cfg)
+    assert lm.N % 8 == 0
+    ref = run_chunk(lm, init_state(lm), 60)
+
+    hm = partition(lm, 8)
+    mesh = make_mesh(8)
+    stepn = make_halo_step(hm, mesh, n_steps=60)
+    out = stepn(init_halo_state(hm))
+    got = gather_state(hm, out)
+    np.testing.assert_allclose(np.asarray(got.disp), np.asarray(ref.disp),
+                               rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(got.velo), np.asarray(ref.velo),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_partition_rejects_contact():
+    from hakai_tpu.pre.synthetic import impact_model
+    lm = lower(impact_model(n=2), SolverConfig(node_pad=8))
+    with pytest.raises(ValueError):
+        partition(lm, 2)
