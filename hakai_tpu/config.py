@@ -40,6 +40,8 @@ class SolverConfig:
     check_nan: bool = False      # abort-on-NaN guard between chunks
     gather_mode: str = "auto"    # "auto" | "xla": mesh gathers via the Pallas
     #                              blocked-gather kernel when plans fit (TPU)
+    renumber: str = "auto"       # "auto" | "off": RCM-renumber scattered
+    #                              meshes so gather plans / halo widths fit
     metrics_path: str | None = None  # JSONL per-chunk diagnostics stream
     checkpoint_every: int = 0    # save resumable checkpoint every N frames
     checkpoint_path: str | None = None

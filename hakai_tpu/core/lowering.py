@@ -148,6 +148,10 @@ class LoweredModel:
     plan_asm: GatherPlan | None = None
     asm_mask: jnp.ndarray = None    # (VL, N) bool
     asm_vl: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # RCM renumbering permutations (None = deck order used internally);
+    # new internal id -> original deck id, 0-based (core/renumber.py)
+    node_new2old: jnp.ndarray = None   # (n_node,) int32
+    elem_new2old: jnp.ndarray = None   # (n_element,) int32
 
     @property
     def dtype(self):
@@ -330,14 +334,42 @@ def _lower_contact(model: Model, cfg: SolverConfig, dtype):
 
 
 def lower(model: Model, config: SolverConfig | None = None) -> LoweredModel:
+    """Lower a parsed model; with ``config.renumber == "auto"`` retry with
+    RCM renumbering when the deck's numbering defeats the gather plans."""
     cfg = config or SolverConfig()
+    lm = _lower_impl(model, cfg)
+    plans_bad = (cfg.gather_mode != "xla" and lm.plan_pos is not None
+                 and not (lm.plan_pos.ok and lm.plan_asm.ok))
+    if cfg.renumber == "auto" and plans_bad and model.n_element > 0:
+        from .renumber import renumber_model
+        m2, node_new2old, elem_new2old = renumber_model(model)
+        lm2 = _lower_impl(m2, cfg)
+        if lm2.plan_pos.ok and lm2.plan_asm.ok:
+            return dataclasses.replace(
+                lm2,
+                node_new2old=jnp.asarray(node_new2old, jnp.int32),
+                elem_new2old=jnp.asarray(elem_new2old, jnp.int32))
+    return lm
+
+
+def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
     dtype = jnp.dtype(cfg.dtype)
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
 
     nN, nE = model.n_node, model.n_element
-    N = _round_up(max(nN, 1), cfg.node_pad)
-    E = _round_up(max(nE, 1), cfg.elem_pad)
+    node_pad, elem_pad = cfg.node_pad, cfg.elem_pad
+    # Pallas gather plans only pay off for meshes with >= a few tiles;
+    # tiny meshes keep XLA gathers (and tight padding for cheap CPU tests)
+    tile = 2048
+    use_plans = cfg.gather_mode != "xla" and nE >= tile and nN >= tile
+    if use_plans:
+        # gather-plan tiles must not straddle slot/lane segment boundaries:
+        # pad the mesh axes to multiples of the tile size (masked padding)
+        node_pad = int(np.lcm(node_pad, tile))
+        elem_pad = int(np.lcm(elem_pad, tile))
+    N = _round_up(max(nN, 1), node_pad)
+    E = _round_up(max(nE, 1), elem_pad)
 
     coord = np.zeros((3, N))
     coord[:, :nN] = model.coordmat
@@ -504,8 +536,9 @@ def lower(model: Model, config: SolverConfig | None = None) -> LoweredModel:
     plan_pos = plan_asm = None
     asm_mask = None
     asm_vl = 0
-    if cfg.gather_mode != "xla":
-        plan_pos = plan_blocked_gather(elem.reshape(-1), N)
+    if use_plans:
+        plan_pos = plan_blocked_gather(elem.reshape(-1), N,
+                                       valid=np.tile(elem_exists, 8))
         # slot-pure assembly lanes: lane (slot i, dup d) holds at most one
         # incident element per node
         lanes = []

@@ -123,6 +123,37 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
     return jax.lax.fori_loop(0, n_steps, lambda _, s: step(model, s), state)
 
 
+def _deck_order_frame(model: LoweredModel, state: SimState, nd):
+    """Map internal (possibly RCM-renumbered) arrays back to the deck's
+    original node/element order for output."""
+    nN, nE = model.n_node, model.n_element
+    coord = np.asarray(model.coord)
+    elem = np.asarray(model.elem)
+    flag = np.asarray(state.element_flag)
+    disp = np.asarray(state.disp)
+    velo = np.asarray(state.velo)
+    nd_np = type(nd)(*[np.asarray(x) for x in nd])
+    if model.node_new2old is None:
+        return coord, elem, flag, disp, velo, nd_np
+    n2o = np.asarray(model.node_new2old)
+    e2o = np.asarray(model.elem_new2old)
+
+    def nodes_back(a):
+        out = np.zeros(a.shape[:-1] + (a.shape[-1],), a.dtype)
+        out[..., n2o] = a[..., :nN]
+        return out
+
+    coord_o = nodes_back(coord)
+    disp_o = nodes_back(disp)
+    velo_o = nodes_back(velo)
+    nd_o = type(nd)(*[nodes_back(np.asarray(x)) for x in nd_np])
+    elem_o = np.zeros_like(elem)
+    elem_o[:, e2o] = n2o[elem[:, :nE]]
+    flag_o = np.zeros_like(flag)
+    flag_o[e2o] = flag[:nE]
+    return coord_o, elem_o, flag_o, disp_o, velo_o, nd_o
+
+
 def run(model: LoweredModel, state: SimState | None = None,
         verbose: bool = True, write_output: bool = True):
     """Whole simulation: time_num steps, 100 VTK frames (HAKAI_j.jl:471-480).
@@ -143,8 +174,8 @@ def run(model: LoweredModel, state: SimState | None = None,
     if write_output:
         nd = node_fields(model, state.stress, state.strain, state.eq_ps,
                          state.triax)
-        write_vtk(0, cfg.out_dir, model.coord, model.elem,
-                  np.asarray(state.element_flag), state.disp, state.velo, nd,
+        co, el, fl, di, ve, nd_o = _deck_order_frame(model, state, nd)
+        write_vtk(0, cfg.out_dir, co, el, fl, di, ve, nd_o,
                   model.n_node, model.n_element)
 
     t0 = _time.time()
@@ -169,9 +200,9 @@ def run(model: LoweredModel, state: SimState | None = None,
         if write_output and done % d_out == 0 and i_out <= n_frames:
             nd = node_fields(model, state.stress, state.strain, state.eq_ps,
                              state.triax)
-            write_vtk(i_out, cfg.out_dir, model.coord, model.elem,
-                      np.asarray(state.element_flag), state.disp, state.velo,
-                      nd, model.n_node, model.n_element)
+            co, el, fl, di, ve, nd_o = _deck_order_frame(model, state, nd)
+            write_vtk(i_out, cfg.out_dir, co, el, fl, di, ve, nd_o,
+                      model.n_node, model.n_element)
             if cfg.checkpoint_every and i_out % cfg.checkpoint_every == 0:
                 from ..utils.checkpoint import save_checkpoint
                 save_checkpoint(cfg.checkpoint_path
