@@ -154,18 +154,25 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
         vel_i = velo[:, n_ids]
 
         nb = max(min(cfgc.node_block, C, (1 << 22) // max(T, 1)), 8)
+        n_chunks = -(-C // nb)
+        Cp = n_chunks * nb
 
-        force_i = jnp.zeros((3, C), dt)
-        force_t = jnp.zeros((3, T), dt)   # -f/3 per vertex (same all verts)
+        def padn(a, fill=0):   # pad node axis (last) to Cp
+            pad = [(0, 0)] * (a.ndim - 1) + [(0, Cp - C)]
+            return jnp.pad(a, pad, constant_values=fill)
 
-        for c0 in range(0, C, nb):
-            c1 = min(c0 + nb, C)
-            p = pos_i[:, c0:c1]                               # (3, nb)
-            vi = vel_i[:, c0:c1]
-            ci = cell_i[:, c0:c1]
-            nin = node_in[c0:c1]
-            ids = n_ids[c0:c1]
-            mi = mass_i[c0:c1]
+        pos_p, vel_p, cell_p = padn(pos_i), padn(vel_i), padn(cell_i, -9)
+        nin_p, ids_p, mi_p = padn(node_in, False), padn(n_ids), padn(mass_i)
+
+        def chunk(ic, carry):
+            force_i, force_t = carry
+            c0 = ic * nb
+            p = jax.lax.dynamic_slice(pos_p, (0, c0), (3, nb))
+            vi = jax.lax.dynamic_slice(vel_p, (0, c0), (3, nb))
+            ci = jax.lax.dynamic_slice(cell_p, (0, c0), (3, nb))
+            nin = jax.lax.dynamic_slice(nin_p, (c0,), (nb,))
+            ids = jax.lax.dynamic_slice(ids_p, (c0,), (nb,))
+            mi = jax.lax.dynamic_slice(mi_p, (c0,), (nb,))
 
             # pair masks (T, nb)
             cell_ok = (jnp.abs(cell_j0[:, :, None] - ci[:, None, :]) <= 1
@@ -197,8 +204,14 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
                  - jnp.where(m, Cd, 0.0) * vrel)              # (3, T, nb)
             f = jnp.where(m[None], f, 0.0)
 
-            force_i = force_i.at[:, c0:c1].add(f.sum(axis=1))
-            force_t = force_t + f.sum(axis=2) / 3.0
+            force_i = jax.lax.dynamic_update_slice(
+                force_i, f.sum(axis=1), (0, c0))
+            return force_i, force_t + f.sum(axis=2) / 3.0
+
+        force_i, force_t = jax.lax.fori_loop(
+            0, n_chunks, chunk,
+            (jnp.zeros((3, Cp), dt), jnp.zeros((3, T), dt)))
+        force_i = force_i[:, :C]
 
         g = jnp.zeros((3, N), dt)
         g = g.at[:, n_ids].add(force_i, mode="drop")
