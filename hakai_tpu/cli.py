@@ -31,6 +31,8 @@ def main(argv=None):
                     help="save a resumable checkpoint every N frames")
     ap.add_argument("--resume", default=None,
                     help="checkpoint file to resume from")
+    ap.add_argument("--metrics", default=None,
+                    help="write per-chunk JSONL diagnostics to this path")
     args = ap.parse_args(argv)
 
     from .config import ContactConfig, SolverConfig
@@ -41,6 +43,8 @@ def main(argv=None):
         node_pad=args.node_pad,
         elem_pad=args.elem_pad,
         contact=ContactConfig(kc=args.kc, kc_self=args.kc, myu=args.myu),
+        metrics_path=args.metrics,
+        checkpoint_every=args.checkpoint_every,
     )
     if cfg.dtype == "float64":
         import jax
@@ -61,6 +65,9 @@ def main(argv=None):
     print(f"time_num:{model.time_num}")
     print(f"elementMinSize:{model.element_min_size}")
     print(f"elementMaxSize:{model.element_max_size}")
+    if model.dt > model.cfl_dt:
+        print(f"WARNING: dt={model.dt:.3e} exceeds CFL estimate "
+              f"{model.cfl_dt:.3e} — expect instability")
 
     state = init_state(model)
     if args.resume:

@@ -153,6 +153,11 @@ class LoweredModel:
     node_new2old: jnp.ndarray = None   # (n_node,) int32
     elem_new2old: jnp.ndarray = None   # (n_element,) int32
 
+    # critical explicit dt (dilatational wave, after mass scaling); the
+    # reference has no stability check (SURVEY.md §5)
+    cfl_dt: float = dataclasses.field(metadata=dict(static=True),
+                                      default=float("inf"))
+
     @property
     def dtype(self):
         return self.coord.dtype
@@ -418,6 +423,17 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
     dt = model.d_time * np.sqrt(model.mass_scaling)
     time_num = int(np.floor(model.end_time / dt)) if dt > 0 else 0
 
+    # --- CFL estimate (new; reference has none) ---
+    cfl = float("inf")
+    if nE:
+        lam_v = np.array([mats[m].lam for m in mat_id[:nE]])
+        G_v = np.array([mats[m].G for m in mat_id[:nE]])
+        rho = np.maximum(density_e, 1e-300)
+        c_wave = np.sqrt((lam_v + 2.0 * G_v) / rho)
+        lmin_e = sizes.min(axis=0)
+        cfl = float((lmin_e / np.maximum(c_wave, 1e-300)).min()
+                    * np.sqrt(model.mass_scaling))
+
     # --- assembly incidence: node -> (slot i, element e) flattened i*E+e ---
     counts = np.zeros(N, np.int64)
     np.add.at(counts, elem[:, :nE].reshape(-1), 1)
@@ -571,6 +587,7 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         dt=float(dt), end_time=float(model.end_time), time_num=time_num,
         mass_scaling=float(model.mass_scaling),
         contact_flag=int(model.contact_flag),
+        cfl_dt=cfl,
         fracture_enabled=fracture_enabled,
         element_min_size=element_min_size, element_max_size=element_max_size,
         config=cfg,
