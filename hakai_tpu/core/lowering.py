@@ -152,6 +152,10 @@ class LoweredModel:
     # new internal id -> original deck id, 0-based (core/renumber.py)
     node_new2old: jnp.ndarray = None   # (n_node,) int32
     elem_new2old: jnp.ndarray = None   # (n_element,) int32
+    # pre-gathered element-node coordinates (only with gather plans): the
+    # fast chunk loop computes pos_e = coord_e + disp_e without re-gathering
+    # static geometry every step
+    coord_e: jnp.ndarray = None        # (3, 8, E)
 
     # critical explicit dt (dilatational wave, after mass scaling); the
     # reference has no stability check (SURVEY.md §5)
@@ -625,4 +629,5 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         plan_asm=plan_asm,
         asm_mask=(jnp.asarray(asm_mask) if asm_mask is not None else None),
         asm_vl=asm_vl,
+        coord_e=(jnp.asarray(coord[:, elem], dtype) if use_plans else None),
     )

@@ -107,6 +107,27 @@ def _hardening_slope(model: LoweredModel, eq_ps: jnp.ndarray) -> jnp.ndarray:
     return H
 
 
+def gather_element_nodes(model: LoweredModel, position, d_disp):
+    """(3,N) nodal fields -> per-element (3,8,E) copies."""
+    E = model.elem.shape[1]
+    if model.plan_pos is not None:
+        g6 = blocked_gather(jnp.concatenate([position, d_disp], axis=0),
+                            model.plan_pos)           # (6, 8E)
+        return g6[:3].reshape(3, 8, E), g6[3:].reshape(3, 8, E)
+    return position[:, model.elem], d_disp[:, model.elem]
+
+
+def gather_disp_e(model: LoweredModel, disp: jnp.ndarray) -> jnp.ndarray:
+    """(3,N) displacement -> (3,8,E) element-node copies (3-channel gather;
+    the fast chunk loop keeps this as a carried value so each step gathers
+    only the new displacement instead of position *and* increment)."""
+    E = model.elem.shape[1]
+    if model.plan_pos is not None:
+        g = blocked_gather(disp, model.plan_pos)
+        return g.reshape(3, 8, E)
+    return disp[:, model.elem]
+
+
 def element_update(model: LoweredModel,
                    position: jnp.ndarray,   # (3, N)
                    d_disp: jnp.ndarray,     # (3, N)
@@ -116,17 +137,21 @@ def element_update(model: LoweredModel,
                    yield_s: jnp.ndarray,    # (8, E)
                    element_flag: jnp.ndarray,  # (E,) bool
                    ) -> ElementResult:
-    dtype = position.dtype
-    elem = model.elem                         # (8, E)
-    E = elem.shape[1]
-    if model.plan_pos is not None:
-        g6 = blocked_gather(jnp.concatenate([position, d_disp], axis=0),
-                            model.plan_pos)           # (6, 8E)
-        pos_e = g6[:3].reshape(3, 8, E)
-        du = g6[3:].reshape(3, 8, E)
-    else:
-        pos_e = position[:, elem]                 # (3, 8, E)
-        du = d_disp[:, elem]                      # (3, 8, E)
+    pos_e, du = gather_element_nodes(model, position, d_disp)
+    return element_core(model, pos_e, du, stress, strain, eq_ps, yield_s,
+                        element_flag)
+
+
+def element_core(model: LoweredModel,
+                 pos_e: jnp.ndarray,        # (3, 8, E)
+                 du: jnp.ndarray,           # (3, 8, E)
+                 stress: jnp.ndarray,       # (6, 8, E)
+                 strain: jnp.ndarray,       # (6, 8, E)
+                 eq_ps: jnp.ndarray,        # (8, E)
+                 yield_s: jnp.ndarray,      # (8, E)
+                 element_flag: jnp.ndarray,  # (E,) bool
+                 ) -> ElementResult:
+    dtype = pos_e.dtype
 
     J = _jacobian(pos_e, dtype)
     detJ = _det3(J)                                     # (8, E) raw (signed)

@@ -75,7 +75,9 @@ def apply_bc(model: LoweredModel, disp_new: jnp.ndarray, current_time):
     return jnp.where(dense_m, dense_v, disp_new)
 
 
-def step(model: LoweredModel, state: SimState) -> SimState:
+def _integrate(model: LoweredModel, state: SimState):
+    """Contact + central difference + BCs (HAKAI_j.jl:497-653).
+    Returns (t, disp_new, velo, contact_force)."""
     dt = jnp.asarray(model.dt, model.dtype)
     t = state.t + 1
     current_time = t.astype(model.dtype) * dt
@@ -95,22 +97,20 @@ def step(model: LoweredModel, state: SimState) -> SimState:
 
     disp_new = apply_bc(model, disp_new, current_time)
     disp_new = jnp.where(model.node_exists, disp_new, 0.0)
+    velo = (disp_new - state.disp) / dt
+    return t, disp_new, velo, cforce
 
-    d_disp = disp_new - state.disp
-    velo = d_disp / dt
-    position = model.coord + disp_new
 
-    res = element_update(model, position, d_disp, state.stress, state.strain,
-                         state.eq_ps, state.yield_s, state.element_flag)
+def _finish(model: LoweredModel, state: SimState, t, disp_new, velo, cforce,
+            res) -> SimState:
+    """Assembly + triaxiality + erosion + state swap (HAKAI_j.jl:662-804)."""
     Q = assemble_internal_force(model, res.Qe)
     triax = triax_stress(res.stress)
-
     flag = state.element_flag
     stress, strain = res.stress, res.strain
     if model.fracture_enabled:
         er = erode(model, stress, strain, res.eq_ps, triax, flag)
         flag, stress, strain = er.element_flag, er.stress, er.strain
-
     return state.replace(
         t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
         stress=stress, strain=strain, eq_ps=res.eq_ps, yield_s=res.yield_s,
@@ -118,8 +118,41 @@ def step(model: LoweredModel, state: SimState) -> SimState:
     )
 
 
+def step(model: LoweredModel, state: SimState) -> SimState:
+    t, disp_new, velo, cforce = _integrate(model, state)
+    res = element_update(model, model.coord + disp_new, disp_new - state.disp,
+                         state.stress, state.strain, state.eq_ps,
+                         state.yield_s, state.element_flag)
+    return _finish(model, state, t, disp_new, velo, cforce, res)
+
+
+def step_fast(model: LoweredModel, state: SimState, disp_e_prev):
+    """Step variant carrying the gathered element-node displacements so only
+    the new displacement is gathered (3 channels instead of 6)."""
+    from ..ops.element import element_core, gather_disp_e
+
+    t, disp_new, velo, cforce = _integrate(model, state)
+    disp_e = gather_disp_e(model, disp_new)
+    pos_e = model.coord_e + disp_e
+    du_e = disp_e - disp_e_prev
+    res = element_core(model, pos_e, du_e, state.stress, state.strain,
+                       state.eq_ps, state.yield_s, state.element_flag)
+    return _finish(model, state, t, disp_new, velo, cforce, res), disp_e
+
+
 @partial(jax.jit, static_argnums=(2,))
 def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
+    if model.coord_e is not None:
+        from ..ops.element import gather_disp_e
+
+        disp_e0 = gather_disp_e(model, state.disp)
+
+        def body(_, carry):
+            s, de = carry
+            return step_fast(model, s, de)
+
+        out, _ = jax.lax.fori_loop(0, n_steps, body, (state, disp_e0))
+        return out
     return jax.lax.fori_loop(0, n_steps, lambda _, s: step(model, s), state)
 
 
