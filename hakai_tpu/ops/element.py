@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -151,15 +152,89 @@ def element_core(model: LoweredModel,
                  yield_s: jnp.ndarray,      # (8, E)
                  element_flag: jnp.ndarray,  # (E,) bool
                  ) -> ElementResult:
+    """Dispatch: XLA by default. The fused Pallas variant
+    (ops/element_pallas.py) keeps temporaries in VMEM but Mosaic serializes
+    the unrolled (8,E) ops and loses to XLA's fusion on v5e (measured 2.0ms
+    vs 1.0ms at 131k elements) — opt in with element_kernel="pallas" for
+    experimentation."""
+    use_pallas = (model.config.element_kernel == "pallas"
+                  and jax.default_backend() == "tpu"
+                  and pos_e.shape[-1] % _TILE_E == 0)
+    if use_pallas:
+        from .element_pallas import element_core_pallas
+        return element_core_pallas(model, pos_e, du, stress, strain, eq_ps,
+                                   yield_s, element_flag)
+    out = _element_math(model.pl_tables, model.mat_id, model.G_e,
+                        model.lam_e, model.has_plastic_e,
+                        jnp.asarray(_PUS, pos_e.dtype), pos_e, du, stress,
+                        strain, eq_ps, yield_s, element_flag)
+    neg = jnp.sum((_det_sign_negative(pos_e) & element_flag[None, :]),
+                  dtype=jnp.int32)
+    return ElementResult(*out, neg)
+
+
+_TILE_E = 512
+
+
+def _det_sign_negative(pos_e):
+    J = _jacobian(pos_e, pos_e.dtype)
+    return _det3(J) < 0
+
+
+def _w(c, a, b):
+    """Broadcasting select via lax.select (jnp.where's closed_call wrapper
+    breaks the lowering cache inside Pallas kernel bodies)."""
+    dt = jnp.result_type(a, b)
+    shape = jnp.broadcast_shapes(jnp.shape(c), jnp.shape(a), jnp.shape(b))
+    return jax.lax.select(jnp.broadcast_to(c, shape),
+                          jnp.broadcast_to(jnp.asarray(a, dt), shape),
+                          jnp.broadcast_to(jnp.asarray(b, dt), shape))
+
+
+def _hardening_slope_tab(pl_tables, mat, eq_ps):
+    """As _hardening_slope but with explicit (static tables, mat ids)."""
+    H = jnp.zeros(eq_ps.shape, eq_ps.dtype)
+    for m, tab in enumerate(pl_tables):
+        npp = len(tab)
+        if npp < 2:
+            continue
+        strains = [row[1] for row in tab]
+        Hd = [(tab[j + 1][0] - tab[j][0]) / (tab[j + 1][1] - tab[j][1])
+              for j in range(npp - 1)]
+        cnt = jnp.zeros(eq_ps.shape, jnp.int32)
+        for j in range(1, npp):
+            cnt = cnt + (eq_ps > strains[j]).astype(jnp.int32)
+        pidx = jnp.minimum(cnt, npp - 2)
+        Hm = jnp.full(eq_ps.shape, Hd[npp - 2], eq_ps.dtype)
+        for j in range(npp - 3, -1, -1):
+            Hm = _w(pidx == j, Hd[j], Hm)
+        H = _w((mat == m)[None, :], Hm, H)
+    return H
+
+
+def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
+                  pos_e, du, stress, strain, eq_ps, yield_s, element_flag):
+    """Pure B-bar + radial-return + internal-force math on (…, B) arrays.
+
+    Written against lax primitives only so it can run both as a plain traced
+    function and inside a Pallas kernel body.  Returns
+    (Qe, stress, strain, eq_ps, yield_s).
+    """
     dtype = pos_e.dtype
 
-    J = _jacobian(pos_e, dtype)
-    detJ = _det3(J)                                     # (8, E) raw (signed)
-    neg = jnp.sum((detJ < 0) & element_flag[None, :], dtype=jnp.int32)
+    # jacobian: J[a][b] = sum_i pus[k,a,i] * pos[b,i]
+    J = [[None] * 3 for _ in range(3)]
+    for a in range(3):
+        for b in range(3):
+            acc = pus[:, a, 0:1] * pos_e[b, 0][None, :]
+            for i in range(1, 8):
+                acc = acc + pus[:, a, i:i + 1] * pos_e[b, i][None, :]
+            J[a][b] = acc                               # (8, B)
+    detJ = _det3(J)                                     # (8, B) raw (signed)
     # V and BVbar use |detJ| (cal_BVbar_hexa, HAKAI_j.jl:1736-1740);
     # the Qe weight uses the raw detJ (cal_Bfinal, HAKAI_j.jl:1442).
     detJ_abs = jnp.abs(detJ)
-    inv_det = 1.0 / jnp.where(detJ == 0, 1.0, detJ)
+    inv_det = 1.0 / _w(detJ == 0, 1.0, detJ)
     invJ = _inv3(J, inv_det)
 
     # P[a][i] = dN_i/dx_a at each gauss point: sum_b invJ[a][b]*pus[k,b,i]
@@ -168,13 +243,13 @@ def element_core(model: LoweredModel,
         for i in range(8):
             acc = None
             for b in range(3):
-                col = jnp.asarray(_PUS[:, b, i], dtype)[:, None]   # (8,1)
+                col = pus[:, b, i:i + 1]                           # (8,1)
                 term = invJ[a][b] * col
                 acc = term if acc is None else acc + term
-            P[a][i] = acc                                          # (8, E)
+            P[a][i] = acc                                          # (8, B)
 
-    V = detJ_abs.sum(axis=0)                            # (E,)
-    inv_V = 1.0 / jnp.where(V == 0, 1.0, V)
+    V = detJ_abs.sum(axis=0)                            # (B,)
+    inv_V = 1.0 / _w(V == 0, 1.0, V)
 
     # displacement gradient g[a][b] = d u_b / d x_a
     g = [[None] * 3 for _ in range(3)]
@@ -183,9 +258,9 @@ def element_core(model: LoweredModel,
             acc = P[a][0] * du[b, 0][None, :]
             for i in range(1, 8):
                 acc = acc + P[a][i] * du[b, i][None, :]
-            g[a][b] = acc                               # (8, E)
+            g[a][b] = acc                               # (8, B)
     tr = g[0][0] + g[1][1] + g[2][2]
-    volbar = ((detJ_abs * tr).sum(axis=0) * inv_V / 3.0)[None, :]   # (1, E)
+    volbar = ((detJ_abs * tr).sum(axis=0) * inv_V / 3.0)[None, :]   # (1, B)
 
     de = jnp.stack([
         g[0][0] - tr / 3.0 + volbar,
@@ -194,74 +269,66 @@ def element_core(model: LoweredModel,
         g[0][1] + g[1][0],
         g[1][2] + g[2][1],
         g[0][2] + g[2][0],
-    ])                                                  # (6, 8, E)
+    ])                                                  # (6, 8, B)
 
-    lam = model.lam_e                                   # (E,)
-    G = model.G_e
     tr_de = 3.0 * volbar                                # == de[0]+de[1]+de[2]
     dsig = jnp.concatenate([
-        lam * tr_de[None] + 2.0 * G * de[:3],
-        G * de[3:],
-    ])                                                  # (6, 8, E)
+        lam_e * tr_de[None] + 2.0 * G_e * de[:3],
+        G_e * de[3:],
+    ])                                                  # (6, 8, B)
 
     trial = stress + dsig
-    mean_s = (trial[0] + trial[1] + trial[2]) / 3.0     # (8,E)
-    dev = trial - jnp.concatenate(
+    mean_s = (trial[0] + trial[1] + trial[2]) / 3.0     # (8,B)
+    mean_6 = jnp.concatenate(
         [jnp.broadcast_to(mean_s[None], (3,) + mean_s.shape),
          jnp.zeros((3,) + mean_s.shape, trial.dtype)])
+    dev = trial - mean_6
     vm = jnp.sqrt(1.5 * (dev[0]**2 + dev[1]**2 + dev[2]**2
                          + 2.0 * (dev[3]**2 + dev[4]**2 + dev[5]**2)))
 
     # --- J2 radial return with piecewise-linear isotropic hardening
-    # (HAKAI_j.jl:1227-1285). Hardening slope index: first table row j (1-based
-    # >=2) with eq_ps <= strain[j], minus one (HAKAI_j.jl:1254-1264).
-    # The material count is tiny, so the table walk is unrolled per material
-    # with scalar-constant knots — no per-element table gathers (which cost
-    # ~9ms/step for 131k elements on v5e).
-    H = _hardening_slope(model, eq_ps)                             # (8,E)
+    # (HAKAI_j.jl:1227-1285); table walk unrolled per material.
+    H = _hardening_slope_tab(pl_tables, mat_id, eq_ps)             # (8,B)
 
-    is_plastic = model.has_plastic_e[None, :] & (vm > yield_s) \
+    is_plastic = has_plastic_e[None, :] & (vm > yield_s) \
         & element_flag[None, :]
-    safe_vm = jnp.where(vm == 0, 1.0, vm)
-    d_ep = jnp.where(is_plastic, (vm - yield_s) / (3.0 * G + H), 0.0)
-    scale = jnp.where(is_plastic, (yield_s + H * d_ep) / safe_vm, 1.0)
-    final = dev * scale[None] + jnp.concatenate([
-        jnp.broadcast_to(mean_s[None], (3,) + mean_s.shape),
-        jnp.zeros((3,) + mean_s.shape, trial.dtype)])
-    final = jnp.where(is_plastic[None], final, trial)
+    safe_vm = _w(vm == 0, 1.0, vm)
+    d_ep = _w(is_plastic, (vm - yield_s) / (3.0 * G_e + H), 0.0)
+    scale = _w(is_plastic, (yield_s + H * d_ep) / safe_vm, 1.0)
+    final = dev * scale[None] + mean_6
+    final = _w(is_plastic[None], final, trial)
 
-    alive = element_flag[None, :]                        # (1,E) -> (8,E)
-    new_eq = jnp.where(alive & is_plastic, eq_ps + d_ep, eq_ps)
-    new_y = jnp.where(alive & is_plastic, yield_s + H * d_ep, yield_s)
-    new_stress = jnp.where(alive[None], final, stress)
-    new_strain = jnp.where(alive[None], strain + de, strain)
+    alive = element_flag[None, :]                        # (1,B) -> (8,B)
+    new_eq = _w(alive & is_plastic, eq_ps + d_ep, eq_ps)
+    new_y = _w(alive & is_plastic, yield_s + H * d_ep, yield_s)
+    new_stress = _w(alive[None], final, stress)
+    new_strain = _w(alive[None], strain + de, strain)
 
     # --- internal force ---
     # f_k[i,b] = sum_a P[a][i] sig[a,b] - (P[b][i] - Pbar[b,i]) sig_m
     # Qe[b,i]  = sum_k detJ_k f_k[i,b]   (W=1)
-    sig_m = (final[0] + final[1] + final[2]) / 3.0       # (8,E)
+    sig_m = (final[0] + final[1] + final[2]) / 3.0       # (8,B)
     s_t = [[final[0], final[3], final[5]],
            [final[3], final[1], final[4]],
            [final[5], final[4], final[2]]]
     w = detJ
-    w_sig_m = w * sig_m                                  # (8,E)
-    sum_w_sig_m = w_sig_m.sum(axis=0)                    # (E,)
-    wdet = detJ_abs * inv_V                              # (8,E) Pbar weights
+    sum_w_sig_m = (w * sig_m).sum(axis=0)                # (B,)
+    wdet = detJ_abs * inv_V                              # (8,B) Pbar weights
     rows = []
     for b in range(3):
         cols = []
         for i in range(8):
             acc = P[0][i] * s_t[0][b] + P[1][i] * s_t[1][b] + P[2][i] * s_t[2][b]
             acc = acc - P[b][i] * sig_m
-            qe = (w * acc).sum(axis=0)                   # (E,)
-            pbar_bi = (wdet * P[b][i]).sum(axis=0)       # (E,)
+            qe = (w * acc).sum(axis=0)                   # (B,)
+            pbar_bi = (wdet * P[b][i]).sum(axis=0)       # (B,)
             qe = qe + pbar_bi * sum_w_sig_m
             cols.append(qe)
-        rows.append(jnp.stack(cols))                     # (8, E)
-    Qe = jnp.stack(rows)                                 # (3, 8, E)
-    Qe = jnp.where(element_flag[None, None, :], Qe, 0.0)
+        rows.append(jnp.stack(cols))                     # (8, B)
+    Qe = jnp.stack(rows)                                 # (3, 8, B)
+    Qe = _w(element_flag[None, None, :], Qe, 0.0)
 
-    return ElementResult(Qe, new_stress, new_strain, new_eq, new_y, neg)
+    return Qe, new_stress, new_strain, new_eq, new_y
 
 
 def assemble_internal_force(model: LoweredModel, Qe: jnp.ndarray) -> jnp.ndarray:

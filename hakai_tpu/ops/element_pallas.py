@@ -1,0 +1,81 @@
+"""Fused Pallas element kernel.
+
+Runs the complete hex8 update (B̄ strain, J2 radial return, internal force)
+for a tile of elements entirely in VMEM.  XLA's fusion of the same math
+spills the ~60 live (8, E) temporaries (J, invJ, P, g, stress pipeline) to
+HBM — ~3x slower at 131k elements on v5e.  Here each grid step streams one
+element tile of inputs in and outputs out (auto-pipelined BlockSpec DMA)
+while every intermediate stays on-chip.
+
+The math itself is shared with the XLA path (ops/element.py::_element_math),
+written against lax primitives so it traces inside the kernel body.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.lowering import LoweredModel
+from . import element as _el
+
+
+def _make_kernel(pl_tables):
+    def kernel(pus_ref, pos_ref, du_ref, stress_ref, strain_ref, eq_ref,
+               y_ref, flag_ref, mat_ref, G_ref, lam_ref, hasp_ref,
+               qe_ref, stress_o, strain_o, eq_o, y_o):
+        flag = flag_ref[0] != 0          # (TE,)
+        hasp = hasp_ref[0] != 0
+        out = _el._element_math(
+            pl_tables, mat_ref[0], G_ref[0], lam_ref[0], hasp, pus_ref[:],
+            pos_ref[:], du_ref[:], stress_ref[:], strain_ref[:],
+            eq_ref[:], y_ref[:], flag)
+        qe_ref[:], stress_o[:], strain_o[:], eq_o[:], y_o[:] = out
+    return kernel
+
+
+def element_core_pallas(model: LoweredModel, pos_e, du, stress, strain,
+                        eq_ps, yield_s, element_flag):
+    E = pos_e.shape[-1]
+    TE = _el._TILE_E
+    n_tiles = E // TE
+    dt = pos_e.dtype
+
+    def spec(lead):
+        return pl.BlockSpec(lead + (TE,),
+                            lambda i, nl=len(lead): (0,) * nl + (i,),
+                            memory_space=pltpu.VMEM)
+
+    flag_i = element_flag.astype(jnp.int32)[None]        # (1, E)
+    hasp_i = model.has_plastic_e.astype(jnp.int32)[None]
+    mat_i = model.mat_id[None]
+    G_i = model.G_e[None]
+    lam_i = model.lam_e[None]
+
+    out = pl.pallas_call(
+        _make_kernel(model.pl_tables),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, 3, 8), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),       # pusai table
+            spec((3, 8)), spec((3, 8)),                  # pos_e, du
+            spec((6, 8)), spec((6, 8)),                  # stress, strain
+            spec((8,)), spec((8,)),                      # eq_ps, yield
+            spec((1,)), spec((1,)), spec((1,)), spec((1,)), spec((1,)),
+        ],
+        out_specs=[
+            spec((3, 8)), spec((6, 8)), spec((6, 8)), spec((8,)), spec((8,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, 8, E), dt),
+            jax.ShapeDtypeStruct((6, 8, E), dt),
+            jax.ShapeDtypeStruct((6, 8, E), dt),
+            jax.ShapeDtypeStruct((8, E), dt),
+            jax.ShapeDtypeStruct((8, E), dt),
+        ],
+    )(jnp.asarray(_el._PUS, dt), pos_e, du, stress, strain, eq_ps, yield_s,
+      flag_i, mat_i, G_i, lam_i, hasp_i)
+    qe, stress_n, strain_n, eq_n, y_n = out
+    return _el.ElementResult(qe, stress_n, strain_n, eq_n, y_n,
+                             jnp.zeros((), jnp.int32))

@@ -118,39 +118,39 @@ def _lane_lookup(row_b: jnp.ndarray, lane: jnp.ndarray) -> jnp.ndarray:
 
 
 def _make_gather_kernel(C: int, w_rows: int):
-    """Double-buffered window gather: tile i+1's window DMA overlaps tile i's
-    lane-lookup compute (scratch persists across sequential grid steps)."""
+    """Double-buffered window gather.
+
+    The source is channel-interleaved — (S/128 rows, C, 128) — so each tile's
+    whole window is ONE contiguous DMA (DMA issue latency, not bandwidth or
+    the lane lookups, dominates this kernel; per-channel copies cost ~3x)."""
     def kernel(starts_ref, lidx_ref, src_hbm, out_ref, scratch, sems):
         i = pl.program_id(0)
         n = pl.num_programs(0)
         slot = jax.lax.rem(i, 2)
         nxt = jax.lax.rem(i + 1, 2)
 
-        def start(slot_idx, tile):
-            for ch in range(C):
-                pltpu.make_async_copy(
-                    src_hbm.at[ch].at[pl.ds(starts_ref[tile], w_rows), :],
-                    scratch.at[slot_idx, ch], sems.at[slot_idx, ch]).start()
+        def dma(slot_idx, tile):
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(starts_ref[tile], w_rows)],
+                scratch.at[slot_idx], sems.at[slot_idx])
 
         @pl.when(i == 0)
         def _():
-            start(slot, i)
+            dma(slot, i).start()
 
         @pl.when(i + 1 < n)
         def _():
-            start(nxt, i + 1)
+            dma(nxt, i + 1).start()
 
         lidx = lidx_ref[:]                          # (rows, 128)
         lane = lidx & (LANE - 1)
         crow = lidx >> 7
         rows = lidx.shape[0]
+        dma(slot, i).wait()
         for ch in range(C):
-            pltpu.make_async_copy(
-                src_hbm.at[ch].at[pl.ds(starts_ref[i], w_rows), :],
-                scratch.at[slot, ch], sems.at[slot, ch]).wait()
             acc = jnp.zeros(lidx.shape, scratch.dtype)
             for c in range(w_rows):
-                row = scratch[slot, ch, c, :]
+                row = scratch[slot, c, ch, :]
                 row_b = jnp.broadcast_to(row[None, :], (rows, LANE))
                 val = _lane_lookup(row_b, lane)
                 # raw lax.select: jnp.where's closed_call wrapper trips the
@@ -170,7 +170,8 @@ def blocked_gather(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
         flat = plan.global_idx.reshape(-1)[:plan.r]
         return src[:, flat]
 
-    src3 = src.reshape(C, S // LANE, LANE)
+    # channel-interleaved view: (S/128, C, 128) so windows are contiguous
+    src3 = src.reshape(C, S // LANE, LANE).transpose(1, 0, 2)
     rows_per_tile = plan.r_tile // LANE
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -182,8 +183,8 @@ def blocked_gather(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
         out_specs=pl.BlockSpec((C, rows_per_tile, LANE),
                                lambda i, starts: (0, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, C, plan.w_rows, LANE), src.dtype),
-            pltpu.SemaphoreType.DMA((2, C)),
+            pltpu.VMEM((2, plan.w_rows, C, LANE), src.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
