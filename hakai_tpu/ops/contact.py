@@ -101,13 +101,30 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
     all_min = jnp.minimum(min_i, min_j)              # (3,)
 
     def compute(_):
-        # --- triangle geometry ---
-        q = position[:, tn]                          # (3, 3vert, T)
-        q0, q1, q2 = q[:, 0], q[:, 1], q[:, 2]
+        # --- second compaction: AABB range culls move the surviving
+        # triangles/nodes to the front so the narrow-phase loops below run
+        # only ceil(active/block) iterations (dynamic trip counts) ---
+        q_all = position[:, tn]                      # (3, 3vert, T)
         # per-axis range cull (:2403-2421)
-        below = (q < range_min[:, None, None]).all(axis=1)
-        above = (q > range_max[:, None, None]).all(axis=1)
-        tri_in = ~(below.any(axis=0) | above.any(axis=0)) & tvalid  # (T,)
+        below = (q_all < range_min[:, None, None]).all(axis=1)
+        above = (q_all > range_max[:, None, None]).all(axis=1)
+        tri_in_mask = ~(below.any(axis=0) | above.any(axis=0)) & tvalid
+        tsel2 = _compact(tri_in_mask, T)
+        t_cnt = tri_in_mask.sum()
+        tn2 = tn[:, tsel2]
+        telem2 = telem[tsel2]
+        tri_in = jnp.arange(T) < t_cnt               # (T,) front-packed
+
+        node_in_mask = ((pos_i >= range_min[:, None])
+                        & (pos_i <= range_max[:, None])).all(axis=0) & nvalid
+        csel2 = _compact(node_in_mask, C)
+        c_cnt = node_in_mask.sum()
+        n_ids2 = n_ids[csel2]
+        node_in = jnp.arange(C) < c_cnt
+
+        # --- triangle geometry (front-packed order) ---
+        q = position[:, tn2]                         # (3, 3vert, T)
+        q0, q1, q2 = q[:, 0], q[:, 1], q[:, 2]
 
         ctr = (q0 + q1 + q2) / 3.0
         Rmax = jnp.sqrt(jnp.maximum(jnp.maximum(
@@ -128,9 +145,10 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
         S = 0.5 * jnp.sqrt(jnp.maximum(L1**2 * L2**2 - d12**2, 0.0))
         k_pen = pair.young * S / safe_L * kc                  # (T,)
         cell_j0 = jnp.ceil((q0 - all_min[:, None]) / ddiv).astype(jnp.int32)
-        enodes = model.elem[:, telem]                         # (8, T)
-        vel_j0 = velo[:, tn[0]]                               # (3, T)
-        mass_i = model.diag_M[n_ids]                          # (C,)
+        enodes = model.elem[:, telem2]                        # (8, T)
+        vel_j0 = velo[:, tn2[0]]                              # (3, T)
+        pos_i2 = position[:, n_ids2]                          # (3, C)
+        mass_i = model.diag_M[n_ids2]                         # (C,)
 
         # det(A) and adjugate rows of A = [v1 v2 -n] (my3SolveAb, :3342-3372)
         A = (v1, v2, -nrm)
@@ -148,75 +166,112 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
             ]) / safe_det                                     # (3, T)
         im0, im1, im2 = inv_row(0), inv_row(1), inv_row(2)
 
-        cell_i = jnp.ceil((pos_i - all_min[:, None]) / ddiv).astype(jnp.int32)
-        node_in = ((pos_i >= range_min[:, None])
-                   & (pos_i <= range_max[:, None])).all(axis=0) & nvalid
-        vel_i = velo[:, n_ids]
+        cell_i = jnp.ceil((pos_i2 - all_min[:, None]) / ddiv).astype(jnp.int32)
+        vel_i = velo[:, n_ids2]
 
-        nb = max(min(cfgc.node_block, C, (1 << 22) // max(T, 1)), 8)
+        TB = min(512, T)
+        nb = max(min(cfgc.node_block, C, (1 << 21) // TB), 8)
+        tri_chunks = -(-T // TB)
         n_chunks = -(-C // nb)
-        Cp = n_chunks * nb
+        Tp, Cp = tri_chunks * TB, n_chunks * nb
 
-        def padn(a, fill=0):   # pad node axis (last) to Cp
-            pad = [(0, 0)] * (a.ndim - 1) + [(0, Cp - C)]
+        def padl(a, n_to, fill=0):   # pad last axis
+            pad = [(0, 0)] * (a.ndim - 1) + [(0, n_to - a.shape[-1])]
             return jnp.pad(a, pad, constant_values=fill)
 
-        pos_p, vel_p, cell_p = padn(pos_i), padn(vel_i), padn(cell_i, -9)
-        nin_p, ids_p, mi_p = padn(node_in, False), padn(n_ids), padn(mass_i)
+        pos_p = padl(pos_i2, Cp)
+        vel_p = padl(vel_i, Cp)
+        cell_p = padl(cell_i, Cp, -9)
+        nin_p = padl(node_in, Cp, False)
+        ids_p = padl(n_ids2, Cp)
+        mi_p = padl(mass_i, Cp)
 
-        def chunk(ic, carry):
+        tri_data = [padl(x, Tp) for x in
+                    (q0, ctr, nrm, im0, im1, im2, vel_j0)]     # (3, Tp) each
+        tri_scal = [padl(x, Tp) for x in (Rmax, k_pen)]        # (Tp,)
+        tin_p = padl(tri_in, Tp, False)
+        en_p = padl(enodes, Tp)
+
+        # dynamic trip counts: work scales with the in-range counts
+        act_tri_chunks = jnp.minimum((t_cnt + TB - 1) // TB, tri_chunks)
+        act_n_chunks = jnp.minimum((c_cnt + nb - 1) // nb, n_chunks)
+
+        def tri_chunk(tc, carry):
             force_i, force_t = carry
-            c0 = ic * nb
-            p = jax.lax.dynamic_slice(pos_p, (0, c0), (3, nb))
-            vi = jax.lax.dynamic_slice(vel_p, (0, c0), (3, nb))
-            ci = jax.lax.dynamic_slice(cell_p, (0, c0), (3, nb))
-            nin = jax.lax.dynamic_slice(nin_p, (c0,), (nb,))
-            ids = jax.lax.dynamic_slice(ids_p, (c0,), (nb,))
-            mi = jax.lax.dynamic_slice(mi_p, (c0,), (nb,))
+            t0 = tc * TB
+            q0c, ctrc, nrmc, im0c, im1c, im2c, vj0c = (
+                jax.lax.dynamic_slice(x, (0, t0), (3, TB)) for x in tri_data)
+            Rmaxc, kpenc = (jax.lax.dynamic_slice(x, (t0,), (TB,))
+                            for x in tri_scal)
+            tinc = jax.lax.dynamic_slice(tin_p, (t0,), (TB,))
+            cellj0c = jnp.ceil((q0c - all_min[:, None]) / ddiv
+                               ).astype(jnp.int32)
+            enc = jax.lax.dynamic_slice(en_p, (0, t0), (8, TB))
 
-            # pair masks (T, nb)
-            cell_ok = (jnp.abs(cell_j0[:, :, None] - ci[:, None, :]) <= 1
-                       ).all(axis=0)
-            m = tri_in[:, None] & nin[None, :] & cell_ok
-            if pair.is_self:
-                own = (enodes[:, :, None] == ids[None, None, :]).any(axis=0)
-                m &= ~own
-            dpc = jnp.sqrt(((p[:, None, :] - ctr[:, :, None]) ** 2).sum(0))
-            m &= dpc < Rmax[:, None]
+            def node_chunk(nc, carry2):
+                force_i, ft_blk = carry2
+                c0 = nc * nb
+                p = jax.lax.dynamic_slice(pos_p, (0, c0), (3, nb))
+                vi = jax.lax.dynamic_slice(vel_p, (0, c0), (3, nb))
+                ci = jax.lax.dynamic_slice(cell_p, (0, c0), (3, nb))
+                nin = jax.lax.dynamic_slice(nin_p, (c0,), (nb,))
+                ids = jax.lax.dynamic_slice(ids_p, (c0,), (nb,))
+                mi = jax.lax.dynamic_slice(mi_p, (c0,), (nb,))
 
-            b = p[:, None, :] - q0[:, :, None]                # (3, T, nb)
-            x1 = (im0[:, :, None] * b).sum(0)
-            x2 = (im1[:, :, None] * b).sum(0)
-            d = (im2[:, :, None] * b).sum(0)
-            m &= (x1 >= 0.0) & (x2 >= 0.0) & (x1 + x2 <= 1.0) \
-                & (d > 0.0) & (d <= d_lim)
+                # pair masks (TB, nb); uniform-grid +-1 cell test (:2487-2492)
+                cell_ok = (jnp.abs(cellj0c[:, :, None] - ci[:, None, :]) <= 1
+                           ).all(axis=0)
+                m = tinc[:, None] & nin[None, :] & cell_ok
+                if pair.is_self:
+                    own = (enc[:, :, None] == ids[None, None, :]).any(axis=0)
+                    m &= ~own
+                dpc = jnp.sqrt(((p[:, None, :] - ctrc[:, :, None]) ** 2
+                                ).sum(0))
+                m &= dpc < Rmaxc[:, None]
 
-            F = jnp.where(m, k_pen[:, None] * d, 0.0)         # (T, nb)
-            vrel = vi[:, None, :] - vel_j0[:, :, None]        # (3, T, nb)
-            mag_v = jnp.sqrt((vrel ** 2).sum(0))
-            ve = vrel / jnp.where(mag_v == 0, 1.0, mag_v)
-            ve = jnp.where(mag_v > 0, ve, 0.0)
-            dot_vn = (ve * nrm[:, :, None]).sum(0)
-            vs = ve - dot_vn * nrm[:, :, None]
-            Cd = 2.0 * jnp.sqrt(mi[None, :] * k_pen[:, None]) * Cr
-            f = (F * nrm[:, :, None]
-                 - myu * F * vs
-                 - jnp.where(m, Cd, 0.0) * vrel)              # (3, T, nb)
-            f = jnp.where(m[None], f, 0.0)
+                b = p[:, None, :] - q0c[:, :, None]           # (3, TB, nb)
+                x1 = (im0c[:, :, None] * b).sum(0)
+                x2 = (im1c[:, :, None] * b).sum(0)
+                d = (im2c[:, :, None] * b).sum(0)
+                m &= (x1 >= 0.0) & (x2 >= 0.0) & (x1 + x2 <= 1.0) \
+                    & (d > 0.0) & (d <= d_lim)
 
-            force_i = jax.lax.dynamic_update_slice(
-                force_i, f.sum(axis=1), (0, c0))
-            return force_i, force_t + f.sum(axis=2) / 3.0
+                F = jnp.where(m, kpenc[:, None] * d, 0.0)     # (TB, nb)
+                vrel = vi[:, None, :] - vj0c[:, :, None]      # (3, TB, nb)
+                mag_v = jnp.sqrt((vrel ** 2).sum(0))
+                ve = vrel / jnp.where(mag_v == 0, 1.0, mag_v)
+                ve = jnp.where(mag_v > 0, ve, 0.0)
+                dot_vn = (ve * nrmc[:, :, None]).sum(0)
+                vs = ve - dot_vn * nrmc[:, :, None]
+                Cd = 2.0 * jnp.sqrt(mi[None, :] * kpenc[:, None]) * Cr
+                f = (F * nrmc[:, :, None]
+                     - myu * F * vs
+                     - jnp.where(m, Cd, 0.0) * vrel)          # (3, TB, nb)
+                f = jnp.where(m[None], f, 0.0)
+
+                fi = jax.lax.dynamic_slice(force_i, (0, c0), (3, nb))
+                force_i = jax.lax.dynamic_update_slice(
+                    force_i, fi + f.sum(axis=1), (0, c0))
+                return force_i, ft_blk + f.sum(axis=2) / 3.0
+
+            force_i, ft_blk = jax.lax.fori_loop(
+                0, act_n_chunks, node_chunk,
+                (force_i, jnp.zeros((3, TB), dt)))
+            ft = jax.lax.dynamic_slice(force_t, (0, t0), (3, TB))
+            force_t = jax.lax.dynamic_update_slice(force_t, ft + ft_blk,
+                                                   (0, t0))
+            return force_i, force_t
 
         force_i, force_t = jax.lax.fori_loop(
-            0, n_chunks, chunk,
-            (jnp.zeros((3, Cp), dt), jnp.zeros((3, T), dt)))
+            0, act_tri_chunks, tri_chunk,
+            (jnp.zeros((3, Cp), dt), jnp.zeros((3, Tp), dt)))
         force_i = force_i[:, :C]
+        force_t = force_t[:, :T]
 
         g = jnp.zeros((3, N), dt)
-        g = g.at[:, n_ids].add(force_i, mode="drop")
+        g = g.at[:, n_ids2].add(force_i, mode="drop")
         for v in range(3):
-            g = g.at[:, tn[v]].add(-force_t, mode="drop")
+            g = g.at[:, tn2[v]].add(-force_t, mode="drop")
         return g
 
     return jax.lax.cond(overlap, compute,
