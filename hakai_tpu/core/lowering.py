@@ -72,6 +72,13 @@ class ContactPairArrays:
     jnode_init: jnp.ndarray = None    # (Cj,) bool
     jnode_twin: jnp.ndarray = None    # (Cj, VTj) int32
     jnode_capacity: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # ---- static Pallas gather plans + precomputed static gathers ----
+    plan_tpos: object = None          # GatherPlan over concat(v0,v1,v2) ids
+    plan_tvel: object = None          # GatherPlan over v0 ids
+    plan_inode: object = None         # GatherPlan over cand_nodes
+    plan_jnode: object = None         # GatherPlan over jnode_nodes
+    tri_enodes: jnp.ndarray = None    # (8, 2F) own-element nodes (self pairs)
+    cand_mass: jnp.ndarray = None     # (Ci,) lumped nodal mass
 
 
 @jax.tree_util.register_dataclass
@@ -250,7 +257,9 @@ def _cand_nodes(model: Model, inst_idx: int, elements: np.ndarray,
 
 def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
                  elements_i: np.ndarray, elements_j: np.ndarray,
-                 face_cache: dict, dtype) -> ContactPairArrays:
+                 face_cache: dict, dtype, kw_n_pad: int,
+                 kw_elem_np: np.ndarray, kw_diag_M_np: np.ndarray
+                 ) -> ContactPairArrays:
     """Lower one directional contact pair (global 0-based ids)."""
     if i_inst not in face_cache:
         face_cache[i_inst] = _instance_faces(model, i_inst)
@@ -288,6 +297,16 @@ def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
         len(jc), _round_up(max(int(1.8 * jc_init.sum()), 16), 8))
 
     young = model.materials[inst_j.material_id - 1].young
+
+    # static gather plans for the per-step contact data (fallback to XLA
+    # gathers when the numbering defeats them — blocked_gather checks ok)
+    N_src = kw_n_pad
+    plan_tpos = plan_blocked_gather(
+        np.concatenate([tri_nodes[0], tri_nodes[1], tri_nodes[2]]), N_src)
+    plan_tvel = plan_blocked_gather(tri_nodes[0], N_src)
+    plan_inode = plan_blocked_gather(cand, N_src)
+    plan_jnode = plan_blocked_gather(jc, N_src)
+
     return ContactPairArrays(
         i_instance=i_inst, j_instance=j_inst, is_self=(i_inst == j_inst),
         young=float(young), tri_capacity=t_cap, node_capacity=n_cap,
@@ -302,10 +321,16 @@ def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
         jnode_init=jnp.asarray(jc_init),
         jnode_twin=jnp.asarray(jc_twin, jnp.int32),
         jnode_capacity=jn_cap,
+        plan_tpos=plan_tpos, plan_tvel=plan_tvel,
+        plan_inode=plan_inode, plan_jnode=plan_jnode,
+        tri_enodes=(jnp.asarray(kw_elem_np[:, tri_elem], jnp.int32)
+                    if i_inst == j_inst else None),
+        cand_mass=jnp.asarray(kw_diag_M_np[cand], dtype),
     )
 
 
-def _lower_contact(model: Model, cfg: SolverConfig, dtype):
+def _lower_contact(model: Model, cfg: SolverConfig, dtype, kw_n_pad=0,
+                   kw_elem_np=None, kw_diag_M_np=None):
     """Build the directional pair list (HAKAI_j.jl:243-402)."""
     if model.contact_flag < 1:
         return ()
@@ -338,7 +363,8 @@ def _lower_contact(model: Model, cfg: SolverConfig, dtype):
             directional = [(i1, i2, els1, els2), (i2, i1, els2, els1)]
         for (ii, jj, ei, ej) in directional:
             pairs.append(_pair_arrays(model, cfg, ii, jj, ei, ej,
-                                      face_cache, dtype))
+                                      face_cache, dtype, kw_n_pad,
+                                      kw_elem_np, kw_diag_M_np))
     return tuple(pairs)
 
 
@@ -545,7 +571,8 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
             axis = (np.asarray(dof) - 1) % 3
             velo0[axis, node] = val
 
-    pairs = _lower_contact(model, cfg, dtype)
+    pairs = _lower_contact(model, cfg, dtype, kw_n_pad=N,
+                           kw_elem_np=elem, kw_diag_M_np=diag_M)
 
     pl_tables = tuple(tuple((float(r[0]), float(r[1])) for r in m.plastic)
                       for m in mats)

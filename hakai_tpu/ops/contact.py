@@ -5,9 +5,12 @@ Re-design of ``cal_contact_force`` (HAKAI-v0.0.2/Julia/HAKAI_j.jl:2248-2706)
 and its CUDA twin (``gpu_contact``, :2899-3157) with static shapes:
 
   * the *complete* face inventory (with twin links) was pre-enumerated at
-    lowering; per step the active triangles/nodes are compacted to fixed
-    capacities with ``jnp.nonzero(size=...)`` — a mask flip replaces the
-    reference's dynamic surface appends;
+    lowering; per step, activity is a mask over it — a mask flip replaces the
+    reference's dynamic surface appends (add_surface_triangle, :2167-2245);
+  * all per-step data movement uses *static* index sets (triangle vertices,
+    candidate nodes), so positions/velocities stream through the Pallas
+    blocked-gather (ops/gather_pallas.py) with plans built at lowering —
+    no dynamic gathers anywhere;
   * the reference's culls are reproduced exactly: AABB-overlap early-out
     (:2284-2307), per-axis triangle range cull (:2403-2421), node range cull
     (:2516-2521), circumradius cull (:2525-2528), and the +-1 uniform-grid
@@ -17,11 +20,13 @@ and its CUDA twin (``gpu_contact``, :2899-3157) with static shapes:
     (my3SolveAb, :3342-3372), accepts 0<=x1, 0<=x2, x1+x2<=1, 0<d<=0.3*minsize
     (:2553-2554), then applies penalty + damping + Coulomb friction
     (:2576-2618) with k = young*S/Lmax*kc;
+  * the (triangle-block x node-block) narrow phase runs only over blocks
+    that contain active in-range work: block-activity lists are compacted and
+    the loops use *dynamic trip counts*, so compute tracks the true contact
+    region while every shape stays static;
   * scatter of +f to the node and -f/3 to the triangle vertices
-    (:2653-2667) is a deterministic on-device scatter-add — no per-thread
-    Float128 buffers or atomics needed.
-
-Narrow phase runs in (triangle x node-tile) blocks to bound memory.
+    (:2653-2667) is a deterministic scatter-add over static index arrays —
+    no per-thread Float128 buffers or atomics needed.
 """
 from __future__ import annotations
 
@@ -29,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.lowering import ContactPairArrays, LoweredModel
+from .gather_pallas import blocked_gather
 
 
 def _node_active(flag, init, twins):
@@ -55,6 +61,18 @@ def _masked_minmax(x, valid):
     return mn, mx
 
 
+def _gather(src, plan, idx):
+    """Static-index gather: Pallas plan when usable, XLA otherwise."""
+    if plan is not None:
+        return blocked_gather(src, plan)
+    return src[:, idx]
+
+
+def _pad_last(a, n_to, fill=0):
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, n_to - a.shape[-1])]
+    return jnp.pad(a, pad, constant_values=fill)
+
+
 def _pair_force(model: LoweredModel, pair: ContactPairArrays,
                 position, velo, flag):
     cfgc = model.config.contact
@@ -67,64 +85,52 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
     d_lim = model.element_min_size * cfgc.d_lim_scale
     myu = cfgc.myu
 
-    # --- activity + compaction ---
+    F2 = pair.tri_nodes.shape[1]          # full triangle inventory (2F)
+    Ci = pair.cand_nodes.shape[0]
+    Cj = pair.jnode_nodes.shape[0]
+
+    # --- activity masks over the static inventory ---
     twin_dead = (pair.tri_twin >= 0) & ~flag[jnp.clip(pair.tri_twin, 0, None)]
-    tri_active = (pair.tri_init | twin_dead) & flag[pair.tri_elem]
-    ni_active = _node_active(flag, pair.cand_init, pair.cand_twin)
-    nj_active = _node_active(flag, pair.jnode_init, pair.jnode_twin)
+    tri_active = (pair.tri_init | twin_dead) & flag[pair.tri_elem]   # (2F,)
+    ni_active = _node_active(flag, pair.cand_init, pair.cand_twin)   # (Ci,)
+    nj_active = _node_active(flag, pair.jnode_init, pair.jnode_twin)  # (Cj,)
 
-    T = pair.tri_capacity
-    tri_sel = _compact(tri_active, T)
-    tvalid = jnp.arange(T) < tri_active.sum()
-    tn = pair.tri_nodes[:, tri_sel]                  # (3 vert, T)
-    telem = pair.tri_elem[tri_sel]                   # (T,)
-
-    C = pair.node_capacity
-    nsel = _compact(ni_active, C)
-    nvalid = jnp.arange(C) < ni_active.sum()
-    n_ids = pair.cand_nodes[nsel]                    # (C,)
-
-    Cj = pair.jnode_capacity
-    jsel = _compact(nj_active, Cj)
-    jvalid = jnp.arange(Cj) < nj_active.sum()
-    j_ids = pair.jnode_nodes[jsel]
+    # --- static-plan gathers of the step's kinematics ---
+    posvel = jnp.concatenate([position, velo], axis=0)               # (6, N)
+    pv_i = _gather(posvel, pair.plan_inode, pair.cand_nodes)         # (6, Ci)
+    pos_i, vel_i = pv_i[:3], pv_i[3:]
+    pos_jn = _gather(position, pair.plan_jnode, pair.jnode_nodes)    # (3, Cj)
+    q_flat = _gather(position, pair.plan_tpos,
+                     jnp.concatenate([pair.tri_nodes[0], pair.tri_nodes[1],
+                                      pair.tri_nodes[2]]))           # (3, 3*2F)
+    q0 = q_flat[:, :F2]
+    q1 = q_flat[:, F2:2 * F2]
+    q2 = q_flat[:, 2 * F2:]
+    vel_j0 = _gather(velo, pair.plan_tvel, pair.tri_nodes[0])        # (3, 2F)
 
     # --- AABBs over the two active node sets (HAKAI_j.jl:2284-2315) ---
-    pos_i = position[:, n_ids]                       # (3, C)
-    pos_jn = position[:, j_ids]
-    min_i, max_i = _masked_minmax(pos_i, nvalid[None])
-    min_j, max_j = _masked_minmax(pos_jn, jvalid[None])
+    min_i, max_i = _masked_minmax(pos_i, ni_active[None])
+    min_j, max_j = _masked_minmax(pos_jn, nj_active[None])
     range_min = jnp.maximum(min_i, min_j)
     range_max = jnp.minimum(max_i, max_j)
-    overlap = jnp.all(range_min <= range_max) & (tri_active.sum() > 0) \
-        & (ni_active.sum() > 0)
+    overlap = jnp.all(range_min <= range_max) & tri_active.any() \
+        & ni_active.any()
     all_min = jnp.minimum(min_i, min_j)              # (3,)
 
+    TB = min(512, F2)
+    nb = max(min(cfgc.node_block, Ci, (1 << 21) // TB), 8)
+    tri_chunks = -(-F2 // TB)
+    n_chunks = -(-Ci // nb)
+    Tp, Cp = tri_chunks * TB, n_chunks * nb
+
     def compute(_):
-        # --- second compaction: AABB range culls move the surviving
-        # triangles/nodes to the front so the narrow-phase loops below run
-        # only ceil(active/block) iterations (dynamic trip counts) ---
-        q_all = position[:, tn]                      # (3, 3vert, T)
-        # per-axis range cull (:2403-2421)
-        below = (q_all < range_min[:, None, None]).all(axis=1)
-        above = (q_all > range_max[:, None, None]).all(axis=1)
-        tri_in_mask = ~(below.any(axis=0) | above.any(axis=0)) & tvalid
-        tsel2 = _compact(tri_in_mask, T)
-        t_cnt = tri_in_mask.sum()
-        tn2 = tn[:, tsel2]
-        telem2 = telem[tsel2]
-        tri_in = jnp.arange(T) < t_cnt               # (T,) front-packed
-
-        node_in_mask = ((pos_i >= range_min[:, None])
-                        & (pos_i <= range_max[:, None])).all(axis=0) & nvalid
-        csel2 = _compact(node_in_mask, C)
-        c_cnt = node_in_mask.sum()
-        n_ids2 = n_ids[csel2]
-        node_in = jnp.arange(C) < c_cnt
-
-        # --- triangle geometry (front-packed order) ---
-        q = position[:, tn2]                         # (3, 3vert, T)
-        q0, q1, q2 = q[:, 0], q[:, 1], q[:, 2]
+        # --- per-triangle geometry over the full inventory, O(F) ---
+        # range cull (:2403-2421)
+        t_out_lo = ((q0 < range_min[:, None]) & (q1 < range_min[:, None])
+                    & (q2 < range_min[:, None])).any(axis=0)
+        t_out_hi = ((q0 > range_max[:, None]) & (q1 > range_max[:, None])
+                    & (q2 > range_max[:, None])).any(axis=0)
+        tri_in = tri_active & ~(t_out_lo | t_out_hi)                 # (2F,)
 
         ctr = (q0 + q1 + q2) / 3.0
         Rmax = jnp.sqrt(jnp.maximum(jnp.maximum(
@@ -140,15 +146,11 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
                         v1[2] * v2[0] - v1[0] * v2[2],
                         v1[0] * v2[1] - v1[1] * v2[0]])
         mag_n = jnp.sqrt((cr ** 2).sum(0))
-        nrm = cr / jnp.where(mag_n == 0, 1.0, mag_n)          # (3, T)
+        nrm = cr / jnp.where(mag_n == 0, 1.0, mag_n)          # (3, 2F)
         d12 = (v1 * v2).sum(0)
         S = 0.5 * jnp.sqrt(jnp.maximum(L1**2 * L2**2 - d12**2, 0.0))
-        k_pen = pair.young * S / safe_L * kc                  # (T,)
+        k_pen = pair.young * S / safe_L * kc                  # (2F,)
         cell_j0 = jnp.ceil((q0 - all_min[:, None]) / ddiv).astype(jnp.int32)
-        enodes = model.elem[:, telem2]                        # (8, T)
-        vel_j0 = velo[:, tn2[0]]                              # (3, T)
-        pos_i2 = position[:, n_ids2]                          # (3, C)
-        mass_i = model.diag_M[n_ids2]                         # (C,)
 
         # det(A) and adjugate rows of A = [v1 v2 -n] (my3SolveAb, :3342-3372)
         A = (v1, v2, -nrm)
@@ -156,69 +158,70 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
                 + A[2][0] * A[0][1] * A[1][2] - A[0][0] * A[2][1] * A[1][2]
                 - A[1][0] * A[0][1] * A[2][2] - A[2][0] * A[1][1] * A[0][2])
         safe_det = jnp.where(detA == 0, 1.0, detA)
-        # inverse rows (im[r][c]) via cofactors
+
         def inv_row(r):
             c1, c2 = (r + 1) % 3, (r + 2) % 3
             return jnp.stack([
                 A[c1][1] * A[c2][2] - A[c2][1] * A[c1][2],
                 A[c2][0] * A[c1][2] - A[c1][0] * A[c2][2],
                 A[c1][0] * A[c2][1] - A[c2][0] * A[c1][1],
-            ]) / safe_det                                     # (3, T)
+            ]) / safe_det                                     # (3, 2F)
         im0, im1, im2 = inv_row(0), inv_row(1), inv_row(2)
 
-        cell_i = jnp.ceil((pos_i2 - all_min[:, None]) / ddiv).astype(jnp.int32)
-        vel_i = velo[:, n_ids2]
+        cell_i = jnp.ceil((pos_i - all_min[:, None]) / ddiv).astype(jnp.int32)
+        node_in = ((pos_i >= range_min[:, None])
+                   & (pos_i <= range_max[:, None])).all(axis=0) & ni_active
 
-        TB = min(512, T)
-        nb = max(min(cfgc.node_block, C, (1 << 21) // TB), 8)
-        tri_chunks = -(-T // TB)
-        n_chunks = -(-C // nb)
-        Tp, Cp = tri_chunks * TB, n_chunks * nb
+        # --- block-activity lists: loops visit only blocks with work ---
+        tri_blk_any = _pad_last(tri_in, Tp, False).reshape(tri_chunks, TB
+                                                           ).any(axis=1)
+        n_blk_any = _pad_last(node_in, Cp, False).reshape(n_chunks, nb
+                                                          ).any(axis=1)
+        tri_blk_ids = _compact(tri_blk_any, tri_chunks)
+        n_blk_ids = _compact(n_blk_any, n_chunks)
+        act_t = tri_blk_any.sum()
+        act_n = n_blk_any.sum()
 
-        def padl(a, n_to, fill=0):   # pad last axis
-            pad = [(0, 0)] * (a.ndim - 1) + [(0, n_to - a.shape[-1])]
-            return jnp.pad(a, pad, constant_values=fill)
+        # padded per-tri / per-node data for dynamic slicing
+        tri_vec = [_pad_last(x, Tp) for x in
+                   (q0, ctr, nrm, im0, im1, im2, vel_j0)]     # (3, Tp)
+        tri_sca = [_pad_last(x, Tp) for x in (Rmax, k_pen)]
+        cellj0_p = _pad_last(cell_j0, Tp, -9)
+        tin_p = _pad_last(tri_in, Tp, False)
+        en_p = (_pad_last(pair.tri_enodes, Tp) if pair.is_self else None)
 
-        pos_p = padl(pos_i2, Cp)
-        vel_p = padl(vel_i, Cp)
-        cell_p = padl(cell_i, Cp, -9)
-        nin_p = padl(node_in, Cp, False)
-        ids_p = padl(n_ids2, Cp)
-        mi_p = padl(mass_i, Cp)
-
-        tri_data = [padl(x, Tp) for x in
-                    (q0, ctr, nrm, im0, im1, im2, vel_j0)]     # (3, Tp) each
-        tri_scal = [padl(x, Tp) for x in (Rmax, k_pen)]        # (Tp,)
-        tin_p = padl(tri_in, Tp, False)
-        en_p = padl(enodes, Tp)
-
-        # dynamic trip counts: work scales with the in-range counts
-        act_tri_chunks = jnp.minimum((t_cnt + TB - 1) // TB, tri_chunks)
-        act_n_chunks = jnp.minimum((c_cnt + nb - 1) // nb, n_chunks)
+        pos_p = _pad_last(pos_i, Cp)
+        vel_p = _pad_last(vel_i, Cp)
+        cell_p = _pad_last(cell_i, Cp, -9)
+        nin_p = _pad_last(node_in, Cp, False)
+        ids_p = _pad_last(pair.cand_nodes, Cp)
+        mi_p = _pad_last(pair.cand_mass, Cp)
 
         def tri_chunk(tc, carry):
             force_i, force_t = carry
-            t0 = tc * TB
+            z = jnp.zeros((), jnp.int32)
+            t0 = tri_blk_ids[tc] * TB
             q0c, ctrc, nrmc, im0c, im1c, im2c, vj0c = (
-                jax.lax.dynamic_slice(x, (0, t0), (3, TB)) for x in tri_data)
+                jax.lax.dynamic_slice(x, (z, t0), (3, TB)) for x in tri_vec)
             Rmaxc, kpenc = (jax.lax.dynamic_slice(x, (t0,), (TB,))
-                            for x in tri_scal)
+                            for x in tri_sca)
             tinc = jax.lax.dynamic_slice(tin_p, (t0,), (TB,))
-            cellj0c = jnp.ceil((q0c - all_min[:, None]) / ddiv
-                               ).astype(jnp.int32)
-            enc = jax.lax.dynamic_slice(en_p, (0, t0), (8, TB))
+            cellj0c = jax.lax.dynamic_slice(cellj0_p, (z, t0), (3, TB))
+            enc = (jax.lax.dynamic_slice(en_p, (z, t0), (8, TB))
+                   if pair.is_self else None)
 
-            def node_chunk(nc, carry2):
+            def node_chunk(ncj, carry2):
                 force_i, ft_blk = carry2
-                c0 = nc * nb
-                p = jax.lax.dynamic_slice(pos_p, (0, c0), (3, nb))
-                vi = jax.lax.dynamic_slice(vel_p, (0, c0), (3, nb))
-                ci = jax.lax.dynamic_slice(cell_p, (0, c0), (3, nb))
+                z2 = jnp.zeros((), jnp.int32)
+                c0 = n_blk_ids[ncj] * nb
+                p = jax.lax.dynamic_slice(pos_p, (z2, c0), (3, nb))
+                vi = jax.lax.dynamic_slice(vel_p, (z2, c0), (3, nb))
+                ci = jax.lax.dynamic_slice(cell_p, (z2, c0), (3, nb))
                 nin = jax.lax.dynamic_slice(nin_p, (c0,), (nb,))
                 ids = jax.lax.dynamic_slice(ids_p, (c0,), (nb,))
                 mi = jax.lax.dynamic_slice(mi_p, (c0,), (nb,))
 
-                # pair masks (TB, nb); uniform-grid +-1 cell test (:2487-2492)
+                # pair masks (TB, nb); +-1 uniform-grid cell test (:2487-2492)
                 cell_ok = (jnp.abs(cellj0c[:, :, None] - ci[:, None, :]) <= 1
                            ).all(axis=0)
                 m = tinc[:, None] & nin[None, :] & cell_ok
@@ -249,29 +252,28 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
                      - jnp.where(m, Cd, 0.0) * vrel)          # (3, TB, nb)
                 f = jnp.where(m[None], f, 0.0)
 
-                fi = jax.lax.dynamic_slice(force_i, (0, c0), (3, nb))
+                fi = jax.lax.dynamic_slice(force_i, (z2, c0), (3, nb))
                 force_i = jax.lax.dynamic_update_slice(
-                    force_i, fi + f.sum(axis=1), (0, c0))
+                    force_i, fi + f.sum(axis=1), (z2, c0))
                 return force_i, ft_blk + f.sum(axis=2) / 3.0
 
             force_i, ft_blk = jax.lax.fori_loop(
-                0, act_n_chunks, node_chunk,
-                (force_i, jnp.zeros((3, TB), dt)))
-            ft = jax.lax.dynamic_slice(force_t, (0, t0), (3, TB))
+                0, act_n, node_chunk, (force_i, jnp.zeros((3, TB), dt)))
+            ft = jax.lax.dynamic_slice(force_t, (z, t0), (3, TB))
             force_t = jax.lax.dynamic_update_slice(force_t, ft + ft_blk,
-                                                   (0, t0))
+                                                   (z, t0))
             return force_i, force_t
 
         force_i, force_t = jax.lax.fori_loop(
-            0, act_tri_chunks, tri_chunk,
+            0, act_t, tri_chunk,
             (jnp.zeros((3, Cp), dt), jnp.zeros((3, Tp), dt)))
-        force_i = force_i[:, :C]
-        force_t = force_t[:, :T]
+        force_i = force_i[:, :Ci]
+        force_t = force_t[:, :F2]
 
         g = jnp.zeros((3, N), dt)
-        g = g.at[:, n_ids2].add(force_i, mode="drop")
+        g = g.at[:, pair.cand_nodes].add(force_i, mode="drop")
         for v in range(3):
-            g = g.at[:, tn2[v]].add(-force_t, mode="drop")
+            g = g.at[:, pair.tri_nodes[v]].add(-force_t, mode="drop")
         return g
 
     return jax.lax.cond(overlap, compute,

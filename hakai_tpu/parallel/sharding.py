@@ -47,8 +47,11 @@ _STATE_ELEM_FIELDS = ("stress", "strain", "eq_ps", "yield_s", "triax",
 def _strip_plans(model: LoweredModel) -> LoweredModel:
     """Remove single-chip Pallas gather plans: the sharded path gathers with
     XLA per shard (per-shard plans are a planned follow-up)."""
+    pairs = tuple(dataclasses.replace(p, plan_tpos=None, plan_tvel=None,
+                                      plan_inode=None, plan_jnode=None)
+                  for p in model.pairs)
     return dataclasses.replace(model, plan_pos=None, plan_asm=None,
-                               asm_mask=None, asm_vl=0)
+                               asm_mask=None, asm_vl=0, pairs=pairs)
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -66,7 +69,9 @@ def model_specs(model: LoweredModel) -> LoweredModel:
         if f.name == "pairs":
             kw[f.name] = tuple(
                 dataclasses.replace(
-                    p, **{g.name: P() for g in dataclasses.fields(p)
+                    p, **{g.name: (P() if getattr(p, g.name) is not None
+                                   else None)
+                          for g in dataclasses.fields(p)
                           if not g.metadata.get("static")})
                 for p in model.pairs)
         elif f.name in _ELEM_FIELDS:
