@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..config import SolverConfig
 from ..io.model import Model
-from ..ops.gather_pallas import GatherPlan, plan_blocked_gather
+from ..ops.gather_pallas import (GatherPlan, plan_blocked_gather,
+                                 plan_segmented)
 from ..ops.shape import pusai_hexa
 
 # face -> local node slots, with the reference's node orders
@@ -74,6 +75,8 @@ class ContactPairArrays:
     jnode_capacity: int = dataclasses.field(metadata=dict(static=True), default=0)
     # ---- static Pallas gather plans + precomputed static gathers ----
     plan_tpos: object = None          # GatherPlan over concat(v0,v1,v2) ids
+    tpos_bounds: tuple = dataclasses.field(metadata=dict(static=True),
+                                           default=())   # segment (start,stop)
     plan_tvel: object = None          # GatherPlan over v0 ids
     plan_inode: object = None         # GatherPlan over cand_nodes
     plan_jnode: object = None         # GatherPlan over jnode_nodes
@@ -301,8 +304,9 @@ def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
     # static gather plans for the per-step contact data (fallback to XLA
     # gathers when the numbering defeats them — blocked_gather checks ok)
     N_src = kw_n_pad
-    plan_tpos = plan_blocked_gather(
-        np.concatenate([tri_nodes[0], tri_nodes[1], tri_nodes[2]]), N_src)
+    plan_tpos, tslices = plan_segmented(
+        [tri_nodes[0], tri_nodes[1], tri_nodes[2]], N_src)
+    tpos_bounds = tuple((s.start, s.stop) for s in tslices)
     plan_tvel = plan_blocked_gather(tri_nodes[0], N_src)
     plan_inode = plan_blocked_gather(cand, N_src)
     plan_jnode = plan_blocked_gather(jc, N_src)
@@ -321,7 +325,7 @@ def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
         jnode_init=jnp.asarray(jc_init),
         jnode_twin=jnp.asarray(jc_twin, jnp.int32),
         jnode_capacity=jn_cap,
-        plan_tpos=plan_tpos, plan_tvel=plan_tvel,
+        plan_tpos=plan_tpos, tpos_bounds=tpos_bounds, plan_tvel=plan_tvel,
         plan_inode=plan_inode, plan_jnode=plan_jnode,
         tri_enodes=(jnp.asarray(kw_elem_np[:, tri_elem], jnp.int32)
                     if i_inst == j_inst else None),

@@ -100,12 +100,16 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
     pv_i = _gather(posvel, pair.plan_inode, pair.cand_nodes)         # (6, Ci)
     pos_i, vel_i = pv_i[:3], pv_i[3:]
     pos_jn = _gather(position, pair.plan_jnode, pair.jnode_nodes)    # (3, Cj)
-    q_flat = _gather(position, pair.plan_tpos,
-                     jnp.concatenate([pair.tri_nodes[0], pair.tri_nodes[1],
-                                      pair.tri_nodes[2]]))           # (3, 3*2F)
-    q0 = q_flat[:, :F2]
-    q1 = q_flat[:, F2:2 * F2]
-    q2 = q_flat[:, 2 * F2:]
+    if pair.plan_tpos is not None:
+        q_flat = blocked_gather(position, pair.plan_tpos)
+        (a0, b0), (a1, b1), (a2, b2) = pair.tpos_bounds
+        q0 = q_flat[:, a0:b0]
+        q1 = q_flat[:, a1:b1]
+        q2 = q_flat[:, a2:b2]
+    else:
+        q0 = position[:, pair.tri_nodes[0]]
+        q1 = position[:, pair.tri_nodes[1]]
+        q2 = position[:, pair.tri_nodes[2]]
     vel_j0 = _gather(velo, pair.plan_tvel, pair.tri_nodes[0])        # (3, 2F)
 
     # --- AABBs over the two active node sets (HAKAI_j.jl:2284-2315) ---

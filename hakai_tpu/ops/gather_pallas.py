@@ -105,6 +105,32 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
     )
 
 
+def plan_segmented(segments, source_len: int, r_tile: int = 2048,
+                   max_w_rows: int = 64):
+    """Plan a gather of several index segments concatenated; each segment is
+    padded (masked) to a tile multiple so tiles never straddle segments.
+
+    Returns (plan, slices) where ``slices[k]`` recovers segment k from the
+    gathered (C, plan.r) output."""
+    idx_parts = []
+    valid_parts = []
+    slices = []
+    off = 0
+    for seg in segments:
+        seg = np.asarray(seg, np.int64).ravel()
+        n = len(seg)
+        n_pad = max(-(-n // r_tile) * r_tile, r_tile)
+        idx_parts.append(np.concatenate([seg, np.zeros(n_pad - n, np.int64)]))
+        valid_parts.append(np.concatenate(
+            [np.ones(n, bool), np.zeros(n_pad - n, bool)]))
+        slices.append(slice(off, off + n))
+        off += n_pad
+    plan = plan_blocked_gather(np.concatenate(idx_parts), source_len,
+                               valid=np.concatenate(valid_parts),
+                               r_tile=r_tile, max_w_rows=max_w_rows)
+    return plan, slices
+
+
 def _lane_lookup(row_b: jnp.ndarray, lane: jnp.ndarray) -> jnp.ndarray:
     """out[s, l] = row_b[s, lane[s, l]] — Mosaic dynamic_gather over lanes.
 
