@@ -164,13 +164,24 @@ def element_core(model: LoweredModel,
         from .element_pallas import element_core_pallas
         return element_core_pallas(model, pos_e, du, stress, strain, eq_ps,
                                    yield_s, element_flag)
-    out = _element_math(model.pl_tables, model.mat_id, model.G_e,
-                        model.lam_e, model.has_plastic_e,
-                        jnp.asarray(_PUS, pos_e.dtype), pos_e, du, stress,
-                        strain, eq_ps, yield_s, element_flag)
+    qe, s_c, e_c, eq, y = _element_math(
+        model.pl_tables, model.mat_id, model.G_e, model.lam_e,
+        model.has_plastic_e, jnp.asarray(_PUS, pos_e.dtype), pos_e, du,
+        [stress[c] for c in range(6)], [strain[c] for c in range(6)],
+        eq_ps, yield_s, element_flag)
     neg = jnp.sum((_det_sign_negative(pos_e) & element_flag[None, :]),
                   dtype=jnp.int32)
-    return ElementResult(*out, neg)
+    return ElementResult(qe, jnp.stack(s_c), jnp.stack(e_c), eq, y, neg)
+
+
+def element_core_c(model: LoweredModel, pos_e, du, stress_c, strain_c,
+                   eq_ps, yield_s, element_flag):
+    """Component-list variant (6 x (8,E) stress/strain in and out) — used by
+    the fast chunk loop to avoid materializing (6,8,E) stacks every step."""
+    return _element_math(
+        model.pl_tables, model.mat_id, model.G_e, model.lam_e,
+        model.has_plastic_e, jnp.asarray(_PUS, pos_e.dtype), pos_e, du,
+        stress_c, strain_c, eq_ps, yield_s, element_flag)
 
 
 _TILE_E = 512
@@ -217,8 +228,10 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     """Pure B-bar + radial-return + internal-force math on (…, B) arrays.
 
     Written against lax primitives only so it can run both as a plain traced
-    function and inside a Pallas kernel body.  Returns
-    (Qe, stress, strain, eq_ps, yield_s).
+    function and inside a Pallas kernel body.  ``stress``/``strain`` are
+    6-component sequences of (8,B) arrays in and out (avoids materializing
+    (6,8,B) stacks — worth ~0.3 ms/step at 131k elements).  Returns
+    (Qe, stress6, strain6, eq_ps, yield_s).
     """
     dtype = pos_e.dtype
 
@@ -262,27 +275,23 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     tr = g[0][0] + g[1][1] + g[2][2]
     volbar = ((detJ_abs * tr).sum(axis=0) * inv_V / 3.0)[None, :]   # (1, B)
 
-    de = jnp.stack([
+    de = [
         g[0][0] - tr / 3.0 + volbar,
         g[1][1] - tr / 3.0 + volbar,
         g[2][2] - tr / 3.0 + volbar,
         g[0][1] + g[1][0],
         g[1][2] + g[2][1],
         g[0][2] + g[2][0],
-    ])                                                  # (6, 8, B)
+    ]                                                   # 6 x (8, B)
 
     tr_de = 3.0 * volbar                                # == de[0]+de[1]+de[2]
-    dsig = jnp.concatenate([
-        lam_e * tr_de[None] + 2.0 * G_e * de[:3],
-        G_e * de[3:],
-    ])                                                  # (6, 8, B)
+    dsig = [lam_e * tr_de + 2.0 * G_e * de[c] for c in range(3)] + \
+           [G_e * de[c] for c in range(3, 6)]           # 6 x (8, B)
 
-    trial = stress + dsig
+    trial = [stress[c] + dsig[c] for c in range(6)]
     mean_s = (trial[0] + trial[1] + trial[2]) / 3.0     # (8,B)
-    mean_6 = jnp.concatenate(
-        [jnp.broadcast_to(mean_s[None], (3,) + mean_s.shape),
-         jnp.zeros((3,) + mean_s.shape, trial.dtype)])
-    dev = trial - mean_6
+    dev = [trial[0] - mean_s, trial[1] - mean_s, trial[2] - mean_s,
+           trial[3], trial[4], trial[5]]
     vm = jnp.sqrt(1.5 * (dev[0]**2 + dev[1]**2 + dev[2]**2
                          + 2.0 * (dev[3]**2 + dev[4]**2 + dev[5]**2)))
 
@@ -295,14 +304,14 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     safe_vm = _w(vm == 0, 1.0, vm)
     d_ep = _w(is_plastic, (vm - yield_s) / (3.0 * G_e + H), 0.0)
     scale = _w(is_plastic, (yield_s + H * d_ep) / safe_vm, 1.0)
-    final = dev * scale[None] + mean_6
-    final = _w(is_plastic[None], final, trial)
+    final = [_w(is_plastic, dev[c] * scale + (mean_s if c < 3 else 0.0),
+                trial[c]) for c in range(6)]
 
     alive = element_flag[None, :]                        # (1,B) -> (8,B)
     new_eq = _w(alive & is_plastic, eq_ps + d_ep, eq_ps)
     new_y = _w(alive & is_plastic, yield_s + H * d_ep, yield_s)
-    new_stress = _w(alive[None], final, stress)
-    new_strain = _w(alive[None], strain + de, strain)
+    new_stress = [_w(alive, final[c], stress[c]) for c in range(6)]
+    new_strain = [_w(alive, strain[c] + de[c], strain[c]) for c in range(6)]
 
     # --- internal force ---
     # f_k[i,b] = sum_a P[a][i] sig[a,b] - (P[b][i] - Pbar[b,i]) sig_m
@@ -345,6 +354,15 @@ def assemble_internal_force(model: LoweredModel, Qe: jnp.ndarray) -> jnp.ndarray
         return jnp.where(model.asm_mask[None], vals, 0.0).sum(axis=1)
     gathered = qf[:, model.inc_idx]          # (3, V, N)
     return jnp.where(model.inc_mask[None], gathered, 0.0).sum(axis=1)
+
+
+def triax_components(s, eps: float = 1e-10) -> jnp.ndarray:
+    """Triaxiality from a 6-component stress sequence (see triax_stress)."""
+    sx, sy, sz, txy, tyz, txz = s
+    vm = jnp.sqrt(0.5 * ((sx - sy)**2 + (sy - sz)**2 + (sx - sz)**2
+                         + 6.0 * (txy**2 + tyz**2 + txz**2)))
+    mean = (sx + sy + sz) / 3.0
+    return jnp.where(vm < eps, 0.0, mean / jnp.where(vm == 0, 1.0, vm))
 
 
 def triax_stress(stress: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:

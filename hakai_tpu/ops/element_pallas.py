@@ -27,11 +27,17 @@ def _make_kernel(pl_tables):
                qe_ref, stress_o, strain_o, eq_o, y_o):
         flag = flag_ref[0] != 0          # (TE,)
         hasp = hasp_ref[0] != 0
-        out = _el._element_math(
+        stress_c = [stress_ref[c] for c in range(6)]
+        strain_c = [strain_ref[c] for c in range(6)]
+        qe, s_c, e_c, eq, y = _el._element_math(
             pl_tables, mat_ref[0], G_ref[0], lam_ref[0], hasp, pus_ref[:],
-            pos_ref[:], du_ref[:], stress_ref[:], strain_ref[:],
+            pos_ref[:], du_ref[:], stress_c, strain_c,
             eq_ref[:], y_ref[:], flag)
-        qe_ref[:], stress_o[:], strain_o[:], eq_o[:], y_o[:] = out
+        qe_ref[:] = qe
+        stress_o[:] = jnp.stack(s_c)
+        strain_o[:] = jnp.stack(e_c)
+        eq_o[:] = eq
+        y_o[:] = y
     return kernel
 
 

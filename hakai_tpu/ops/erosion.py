@@ -26,17 +26,17 @@ class ErosionResult(NamedTuple):
     deleted_now: jnp.ndarray   # (E,) bool — deleted this step
 
 
-def erode(model: LoweredModel,
-          stress: jnp.ndarray, strain: jnp.ndarray,
-          eq_ps: jnp.ndarray, triax: jnp.ndarray,
-          element_flag: jnp.ndarray) -> ErosionResult:
+def erosion_delete_mask(model: LoweredModel, eq_ps: jnp.ndarray,
+                        triax: jnp.ndarray, element_flag: jnp.ndarray):
+    """(new_flag, delete) per element — the table walk without state zeroing.
+
+    Fracture-strain interpolation on triaxiality, unrolled per material with
+    scalar-constant table knots (no per-element table gathers).  Default is
+    the last row's strain (HAKAI_j.jl:725); rows interpolate on
+    t0 <= t_e < t1 (HAKAI_j.jl:726-731).
+    """
     v_e = eq_ps.mean(axis=0)     # (E,)
     t_e = triax.mean(axis=0)     # (E,)
-
-    # Fracture-strain interpolation on triaxiality, unrolled per material with
-    # scalar-constant table knots (no per-element table gathers).  Default is
-    # the last row's strain (HAKAI_j.jl:725); rows interpolate on
-    # t0 <= t_e < t1 (HAKAI_j.jl:726-731).
     mat = model.mat_id
     delete = jnp.zeros(v_e.shape, bool)
     for m, tab in enumerate(model.du_tables):
@@ -55,7 +55,14 @@ def erode(model: LoweredModel,
         delete_m = (t_e >= 0.0) & (v_e >= fr_m)
         delete = jnp.where(mat == m, delete_m, delete)
     delete = delete & element_flag
-    new_flag = element_flag & ~delete
+    return element_flag & ~delete, delete
+
+
+def erode(model: LoweredModel,
+          stress: jnp.ndarray, strain: jnp.ndarray,
+          eq_ps: jnp.ndarray, triax: jnp.ndarray,
+          element_flag: jnp.ndarray) -> ErosionResult:
+    new_flag, delete = erosion_delete_mask(model, eq_ps, triax, element_flag)
     z = ~delete[None, None, :]
     return ErosionResult(new_flag,
                          jnp.where(z, stress, 0.0),

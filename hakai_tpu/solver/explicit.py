@@ -126,18 +126,35 @@ def step(model: LoweredModel, state: SimState) -> SimState:
     return _finish(model, state, t, disp_new, velo, cforce, res)
 
 
-def step_fast(model: LoweredModel, state: SimState, disp_e_prev):
-    """Step variant carrying the gathered element-node displacements so only
-    the new displacement is gathered (3 channels instead of 6)."""
-    from ..ops.element import element_core, gather_disp_e
+def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
+              stress_c, strain_c):
+    """Step variant for the chunk loop: carries the gathered element-node
+    displacements (only the new displacement is gathered, 3 channels instead
+    of 6) and the stress/strain state as 6-component tuples (avoids
+    re-materializing (6,8,E) stacks every step)."""
+    from ..ops.element import element_core_c, gather_disp_e, triax_components
+    from ..ops.erosion import erosion_delete_mask
 
     t, disp_new, velo, cforce = _integrate(model, state)
     disp_e = gather_disp_e(model, disp_new)
     pos_e = model.coord_e + disp_e
     du_e = disp_e - disp_e_prev
-    res = element_core(model, pos_e, du_e, state.stress, state.strain,
-                       state.eq_ps, state.yield_s, state.element_flag)
-    return _finish(model, state, t, disp_new, velo, cforce, res), disp_e
+    qe, s_c, e_c, eq, y = element_core_c(
+        model, pos_e, du_e, stress_c, strain_c, state.eq_ps, state.yield_s,
+        state.element_flag)
+    Q = assemble_internal_force(model, qe)
+    triax = triax_components(s_c)
+    flag = state.element_flag
+    if model.fracture_enabled:
+        flag, delete = erosion_delete_mask(model, eq, triax, flag)
+        keep = ~delete[None, :]
+        s_c = [jnp.where(keep, s, 0.0) for s in s_c]
+        e_c = [jnp.where(keep, e, 0.0) for e in e_c]
+    new_state = state.replace(
+        t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
+        eq_ps=eq, yield_s=y, triax=triax, element_flag=flag,
+        contact_force=cforce)
+    return new_state, disp_e, tuple(s_c), tuple(e_c)
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -146,13 +163,18 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
         from ..ops.element import gather_disp_e
 
         disp_e0 = gather_disp_e(model, state.disp)
+        stress_c0 = tuple(state.stress[c] for c in range(6))
+        strain_c0 = tuple(state.strain[c] for c in range(6))
+        dummy = jnp.zeros((0,), model.dtype)
+        s0 = state.replace(stress=dummy, strain=dummy)
 
         def body(_, carry):
-            s, de = carry
-            return step_fast(model, s, de)
+            s, de, sc, ec = carry
+            return step_fast(model, s, de, sc, ec)
 
-        out, _ = jax.lax.fori_loop(0, n_steps, body, (state, disp_e0))
-        return out
+        out, _, s_c, e_c = jax.lax.fori_loop(
+            0, n_steps, body, (s0, disp_e0, stress_c0, strain_c0))
+        return out.replace(stress=jnp.stack(s_c), strain=jnp.stack(e_c))
     return jax.lax.fori_loop(0, n_steps, lambda _, s: step(model, s), state)
 
 
