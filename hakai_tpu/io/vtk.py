@@ -15,7 +15,6 @@ formatter via ``np.savetxt``.
 """
 from __future__ import annotations
 
-import io
 import os
 
 import numpy as np

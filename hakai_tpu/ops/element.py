@@ -80,34 +80,6 @@ def _inv3(J, inv_det):
     return inv
 
 
-def _hardening_slope(model: LoweredModel, eq_ps: jnp.ndarray) -> jnp.ndarray:
-    """Piecewise-linear hardening slope H per Gauss point.
-
-    Reference semantics (HAKAI_j.jl:1254-1267): p_index = (first table row j,
-    1-based >= 2, with eq_ps <= strain[j]) - 1, clamped to npp-1;
-    H = Hd[p_index].  Unrolled over the (few) materials with scalar-constant
-    knots; per-element selection by material id mask.
-    """
-    H = jnp.zeros_like(eq_ps)
-    mat = model.mat_id                                   # (E,)
-    for m, tab in enumerate(model.pl_tables):
-        npp = len(tab)
-        if npp < 2:
-            continue
-        strains = [row[1] for row in tab]
-        Hd = [(tab[j + 1][0] - tab[j][0]) / (tab[j + 1][1] - tab[j][1])
-              for j in range(npp - 1)]
-        cnt = jnp.zeros(eq_ps.shape, jnp.int32)
-        for j in range(1, npp):
-            cnt = cnt + (eq_ps > strains[j]).astype(jnp.int32)
-        pidx = jnp.minimum(cnt, npp - 2)
-        Hm = jnp.asarray(Hd[npp - 2], eq_ps.dtype)
-        for j in range(npp - 3, -1, -1):
-            Hm = jnp.where(pidx == j, Hd[j], Hm)
-        H = jnp.where((mat == m)[None, :], Hm, H)
-    return H
-
-
 def gather_element_nodes(model: LoweredModel, position, d_disp):
     """(3,N) nodal fields -> per-element (3,8,E) copies."""
     E = model.elem.shape[1]
