@@ -43,6 +43,40 @@ def test_halo_matches_single_device():
                                rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_halo_with_fracture():
+    """Erosion runs on local element shards and stays consistent."""
+    m = unit_cube_model(nx=32, ny=2, nz=2, lx=32.0,
+                        plastic=[[0.1, 0.0], [0.2, 1.0]])
+    m.materials[0].ductile = np.array([[0.05, 0.0, 30.0], [0.05, 0.9, 30.0]])
+    m.materials[0].fracture_flag = 1
+    dofs = np.arange(1, m.n_node * 3 + 1, 3) + 2
+    from hakai_tpu.io.model import IC
+    m.ics.append(IC(type="VELOCITY", dof=[dofs], value=[8.0]))
+    # clamp one end so stress develops
+    from hakai_tpu.io.model import BC
+    left = np.nonzero(np.asarray(m.coordmat[0]) == 0.0)[0] + 1
+    enc = BC()
+    enc.dof.append(np.concatenate([left * 3 - 2, left * 3 - 1, left * 3]))
+    enc.value = [0.0]
+    m.bcs.append(enc)
+    m.d_time = 2e-3
+    m.end_time = 2.0
+    cfg = SolverConfig(node_pad=8 * 8, elem_pad=8)
+    lm = lower(m, cfg)
+    assert lm.fracture_enabled
+    ref = run_chunk(lm, init_state(lm), 120)
+    hm = partition(lm, 8)
+    stepn = make_halo_step(hm, make_mesh(8), n_steps=120)
+    out = stepn(init_halo_state(hm))
+    got = gather_state(hm, out)
+    np.testing.assert_allclose(np.asarray(got.disp), np.asarray(ref.disp),
+                               rtol=1e-9, atol=1e-12)
+    # some elements must actually have eroded for the test to mean anything
+    assert int(np.asarray(ref.element_flag).sum()) < lm.n_element \
+        or float(ref.eq_ps.max()) > 0.0
+
+
 def test_partition_rejects_contact():
     from hakai_tpu.pre.synthetic import impact_model
     lm = lower(impact_model(n=2), SolverConfig(node_pad=8))
