@@ -26,8 +26,8 @@ import jax.numpy as jnp
 
 from ..config import SolverConfig
 from ..io.model import Model
-from ..ops.gather_pallas import (GatherPlan, plan_blocked_gather,
-                                 plan_segmented)
+from ..ops.gather_pallas import (GatherPlan, plan_assemble,
+                                 plan_blocked_gather, plan_segmented)
 from ..ops.shape import pusai_hexa
 
 # face -> local node slots, with the reference's node orders
@@ -589,7 +589,8 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
     asm_vl = 0
     if use_plans:
         plan_pos = plan_blocked_gather(elem.reshape(-1), N,
-                                       valid=np.tile(elem_exists, 8))
+                                       valid=np.tile(elem_exists, 8),
+                                       subgroups=4)
         # slot-pure assembly lanes: lane (slot i, dup d) holds at most one
         # incident element per node
         lanes = []

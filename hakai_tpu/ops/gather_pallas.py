@@ -44,15 +44,26 @@ class GatherPlan:
     w_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_tiles: int = dataclasses.field(metadata=dict(static=True), default=0)
     ok: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # subgroup merging: sg windows share one DMA per grid step (DMA-issue
+    # latency dominates the kernel; merged windows cut it ~3x)
+    sg: int = dataclasses.field(metadata=dict(static=True), default=1)
+    m_w_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # in-kernel accumulation: vl consecutive tiles sum (masked) into one
+    # output block — used for internal-force assembly (output is (C, r/vl))
+    vl: int = dataclasses.field(metadata=dict(static=True), default=0)
+    mask_tiles: jnp.ndarray = None   # (r_pad//LANE, LANE) f32 0/1
     starts: jnp.ndarray = None     # (n_tiles,) int32 window starts (row units)
     local_idx: jnp.ndarray = None  # (r_pad//LANE, LANE) int32 idx - starts*128
     global_idx: jnp.ndarray = None  # (r_pad//LANE, LANE) int32 (XLA fallback)
+    m_starts: jnp.ndarray = None   # (n_m,) int32 merged-window starts
+    sub_off: jnp.ndarray = None    # (n_m, sg) int32 window offset in merged
 
 
 def plan_blocked_gather(indices: np.ndarray, source_len: int,
                         valid: np.ndarray | None = None,
                         r_tile: int = 2048,
-                        max_w_rows: int = 64) -> GatherPlan:
+                        max_w_rows: int = 64,
+                        subgroups: int = 1) -> GatherPlan:
     """Build a :class:`GatherPlan` for gathering ``indices`` (R,) out of a
     source of length ``source_len`` (must be a multiple of 128).
 
@@ -96,13 +107,62 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
     local = tiles - (starts[:, None].astype(np.int64) * LANE)
     local = np.where(vtiles, local, 0).astype(np.int32)
     glob = np.where(validp, idxp, 0).astype(np.int32)
+
+    local = local.reshape(-1)
+    sg = max(int(subgroups), 1)
+    m_starts = sub_off = None
+    m_w = 0
+    if sg > 1:
+        n_m = -(-n_tiles // sg)
+        starts_pad = np.concatenate(
+            [starts, np.repeat(starts[-1:], n_m * sg - n_tiles)])
+        s2 = starts_pad.reshape(n_m, sg)
+        m_start = s2.min(axis=1)
+        m_w = int((s2 + w_rows - m_start[:, None]).max())
+        m_w = min(m_w, src_rows)
+        m_start = np.minimum(m_start, max(src_rows - m_w, 0))
+        sub_off_a = (s2 - m_start[:, None]).astype(np.int32)
+        if (sub_off_a + w_rows > m_w).any():
+            sg = 1          # merged window cannot cover; fall back to legacy
+        else:
+            # pad index blocks to the merged grid
+            r_pad2 = n_m * sg * r_tile
+            if r_pad2 > r_pad:
+                local = np.concatenate(
+                    [local, np.zeros(r_pad2 - r_pad, np.int32)])
+                glob = np.concatenate(
+                    [glob, np.zeros(r_pad2 - r_pad, np.int32)])
+                r_pad = r_pad2
+            m_starts = jnp.asarray(m_start.astype(np.int32))
+            sub_off = jnp.asarray(sub_off_a)
+
     return GatherPlan(
         r=r, r_pad=r_pad, r_tile=r_tile, w_rows=int(w_rows),
         n_tiles=n_tiles, ok=bool(ok),
+        sg=sg, m_w_rows=int(m_w) if sg > 1 else 0,
         starts=jnp.asarray(starts),
-        local_idx=jnp.asarray(local.reshape(r_pad // LANE, LANE)),
-        global_idx=jnp.asarray(glob.reshape(r_pad // LANE, LANE)),
+        local_idx=jnp.asarray(np.asarray(local).reshape(r_pad // LANE, LANE)),
+        global_idx=jnp.asarray(np.asarray(glob).reshape(r_pad // LANE, LANE)),
+        m_starts=m_starts, sub_off=sub_off,
     )
+
+
+def plan_assemble(idx_grouped: np.ndarray, mask_grouped: np.ndarray,
+                  source_len: int, vl: int, r_tile: int = 2048,
+                  max_w_rows: int = 64) -> GatherPlan:
+    """Plan a gather-and-accumulate: indices are ordered so that ``vl``
+    consecutive tiles target the same output block; the kernel sums their
+    masked values in place (used for slot-pure internal-force assembly —
+    the (C, vl*N) intermediate never materializes)."""
+    plan = plan_blocked_gather(idx_grouped, source_len,
+                               valid=mask_grouped, r_tile=r_tile,
+                               max_w_rows=max_w_rows)
+    r_pad = plan.r_pad
+    mt = np.zeros(r_pad, np.float32)
+    mt[:len(mask_grouped)] = np.asarray(mask_grouped, np.float32)
+    return dataclasses.replace(
+        plan, vl=int(vl),
+        mask_tiles=jnp.asarray(mt.reshape(r_pad // LANE, LANE)))
 
 
 def plan_segmented(segments, source_len: int, r_tile: int = 2048,
@@ -186,6 +246,139 @@ def _make_gather_kernel(C: int, w_rows: int):
     return kernel
 
 
+def _make_merged_kernel(C: int, w_rows: int, m_w: int, sg: int,
+                        rows_sub: int):
+    """sg windows per grid step share ONE contiguous window DMA; per-window
+    row offsets come from SMEM (sub_off)."""
+    def kernel(mstarts_ref, suboff_ref, lidx_ref, src_hbm, out_ref,
+               scratch, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        def dma(s, t):
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(mstarts_ref[t], m_w)],
+                scratch.at[s], sems.at[s])
+
+        @pl.when(i == 0)
+        def _():
+            dma(slot, i).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            dma(nxt, i + 1).start()
+
+        lidx = lidx_ref[:]                          # (sg*rows_sub, 128)
+        lane = lidx & (LANE - 1)
+        crow = lidx >> 7
+        dma(slot, i).wait()
+        for ch in range(C):
+            for g in range(sg):
+                sl = slice(g * rows_sub, (g + 1) * rows_sub)
+                lane_g = lane[sl]
+                crow_g = crow[sl]
+                off = suboff_ref[i, g]
+                acc = jnp.zeros((rows_sub, LANE), scratch.dtype)
+                for c in range(w_rows):
+                    row = scratch[slot, off + c, ch, :]
+                    row_b = jnp.broadcast_to(row[None, :], (rows_sub, LANE))
+                    val = _lane_lookup(row_b, lane_g)
+                    acc = jax.lax.select(crow_g == c, val, acc)
+                out_ref[ch, sl] = acc
+    return kernel
+
+
+def _make_asm_kernel(C: int, w_rows: int, vl: int):
+    """Window gather + masked in-place accumulation of vl consecutive tiles
+    into one output block (grid revisits the block; TPU grids are
+    sequential, so the reduction is race-free and fixed-order)."""
+    def kernel(starts_ref, lidx_ref, mask_ref, src_hbm, out_ref,
+               scratch, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        def dma(s, t):
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(starts_ref[t], w_rows)],
+                scratch.at[s], sems.at[s])
+
+        @pl.when(i == 0)
+        def _():
+            dma(slot, i).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            dma(nxt, i + 1).start()
+
+        lidx = lidx_ref[:]
+        lane = lidx & (LANE - 1)
+        crow = lidx >> 7
+        rows = lidx.shape[0]
+        mask = mask_ref[:]
+        first = jax.lax.rem(i, vl) == 0
+        dma(slot, i).wait()
+        for ch in range(C):
+            acc = jnp.zeros(lidx.shape, scratch.dtype)
+            for c in range(w_rows):
+                row = scratch[slot, c, ch, :]
+                row_b = jnp.broadcast_to(row[None, :], (rows, LANE))
+                val = _lane_lookup(row_b, lane)
+                acc = jax.lax.select(crow == c, val, acc)
+            acc = acc * mask
+
+            @pl.when(first)
+            def _(ch=ch, acc=acc):
+                out_ref[ch] = acc
+
+            @pl.when(jnp.logical_not(first))
+            def _(ch=ch, acc=acc):
+                out_ref[ch] = out_ref[ch] + acc
+    return kernel
+
+
+def blocked_assemble(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
+    """Gather-and-accumulate ``src (C, S) -> (C, plan.r_pad // plan.vl)``
+    (caller slices to the true output length).
+
+    XLA fallback: plain gather + masked per-block sum."""
+    C, S = src.shape
+    vl = plan.vl
+    if not plan.ok or jax.default_backend() != "tpu":
+        flat = plan.global_idx.reshape(-1)
+        vals = src[:, flat] * plan.mask_tiles.reshape(-1).astype(src.dtype)
+        nblk = plan.r_pad // (vl * plan.r_tile)
+        return vals.reshape(C, nblk, vl, plan.r_tile).sum(axis=2
+                                                          ).reshape(C, -1)
+    src3 = src.reshape(C, S // LANE, LANE).transpose(1, 0, 2)
+    rows_per_tile = plan.r_tile // LANE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(plan.n_tiles,),
+        in_specs=[
+            pl.BlockSpec((rows_per_tile, LANE), lambda i, starts: (i, 0)),
+            pl.BlockSpec((rows_per_tile, LANE), lambda i, starts: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((C, rows_per_tile, LANE),
+                               lambda i, starts: (0, i // plan.vl, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, plan.w_rows, C, LANE), src.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_asm_kernel(C, plan.w_rows, vl),
+        out_shape=jax.ShapeDtypeStruct((C, plan.r_pad // vl // LANE, LANE),
+                                       src.dtype),
+        grid_spec=grid_spec,
+    )(plan.starts, plan.local_idx, plan.mask_tiles, src3)
+    return out.reshape(C, plan.r_pad // vl)
+
+
 def blocked_gather(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
     """Gather ``src (C, S) -> (C, plan.r)`` using the precomputed plan.
 
@@ -195,6 +388,34 @@ def blocked_gather(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
     if not plan.ok or jax.default_backend() != "tpu":
         flat = plan.global_idx.reshape(-1)[:plan.r]
         return src[:, flat]
+
+    if plan.sg > 1:
+        src3 = src.reshape(C, S // LANE, LANE).transpose(1, 0, 2)
+        rows_sub = plan.r_tile // LANE
+        n_m = plan.m_starts.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_m,),
+            in_specs=[
+                pl.BlockSpec((plan.sg * rows_sub, LANE),
+                             lambda i, ms, so: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((C, plan.sg * rows_sub, LANE),
+                                   lambda i, ms, so: (0, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, plan.m_w_rows, C, LANE), src.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out = pl.pallas_call(
+            _make_merged_kernel(C, plan.w_rows, plan.m_w_rows, plan.sg,
+                                rows_sub),
+            out_shape=jax.ShapeDtypeStruct((C, plan.r_pad // LANE, LANE),
+                                           src.dtype),
+            grid_spec=grid_spec,
+        )(plan.m_starts, plan.sub_off, plan.local_idx, src3)
+        return out.reshape(C, plan.r_pad)[:, :plan.r]
 
     # channel-interleaved view: (S/128, C, 128) so windows are contiguous
     src3 = src.reshape(C, S // LANE, LANE).transpose(1, 0, 2)
