@@ -33,6 +33,8 @@ def main(argv=None):
                     help="checkpoint file to resume from")
     ap.add_argument("--metrics", default=None,
                     help="write per-chunk JSONL diagnostics to this path")
+    ap.add_argument("--check-nan", action="store_true",
+                    help="abort when displacements go non-finite")
     args = ap.parse_args(argv)
 
     from .config import ContactConfig, SolverConfig
@@ -45,6 +47,7 @@ def main(argv=None):
         contact=ContactConfig(kc=args.kc, kc_self=args.kc, myu=args.myu),
         metrics_path=args.metrics,
         checkpoint_every=args.checkpoint_every,
+        check_nan=args.check_nan,
     )
     if cfg.dtype == "float64":
         import jax

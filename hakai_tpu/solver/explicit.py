@@ -235,8 +235,8 @@ def run(model: LoweredModel, state: SimState | None = None,
 
     t0 = _time.time()
     alive_prev = int(np.asarray(state.element_flag).sum())
-    done = 0
-    i_out = 1
+    done = int(state.t)          # resume-aware (checkpoint carries t)
+    i_out = done // d_out + 1
     while done < time_num:
         n = min(d_out, time_num - done)
         state = run_chunk(model, state, n)
