@@ -661,5 +661,9 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         plan_asm=plan_asm,
         asm_mask=(jnp.asarray(asm_mask) if asm_mask is not None else None),
         asm_vl=asm_vl,
-        coord_e=(jnp.asarray(coord[:, elem], dtype) if use_plans else None),
+        # element-node coordinates centered on node 0 (computed in f64, so
+        # the f32 cast carries no cancellation noise even for meshes far from
+        # the origin); the Jacobian is translation-invariant
+        coord_e=(jnp.asarray(coord[:, elem] - coord[:, elem[0]][:, None, :],
+                             dtype) if use_plans else None),
     )

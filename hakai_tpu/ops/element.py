@@ -207,12 +207,20 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     """
     dtype = pos_e.dtype
 
+    # Center coordinates on each element's first node before the Jacobian.
+    # J is translation-invariant, and in f32 this removes the catastrophic
+    # loss of significance for meshes far from the origin (e.g. the car decks
+    # span ~3000 mm with ~1 mm elements: raw f32 positions quantize at
+    # ~2.4e-4 mm, injecting ~2% strain noise per step that destabilizes the
+    # run; the f64 reference never sees this).
+    pos_e = pos_e - pos_e[:, 0:1, :]
+
     # jacobian: J[a][b] = sum_i pus[k,a,i] * pos[b,i]
     J = [[None] * 3 for _ in range(3)]
     for a in range(3):
         for b in range(3):
-            acc = pus[:, a, 0:1] * pos_e[b, 0][None, :]
-            for i in range(1, 8):
+            acc = pus[:, a, 1:2] * pos_e[b, 1][None, :]
+            for i in range(2, 8):
                 acc = acc + pus[:, a, i:i + 1] * pos_e[b, i][None, :]
             J[a][b] = acc                               # (8, B)
     detJ = _det3(J)                                     # (8, B) raw (signed)

@@ -212,8 +212,8 @@ def _make_gather_kernel(C: int, w_rows: int):
     def kernel(starts_ref, lidx_ref, src_hbm, out_ref, scratch, sems):
         i = pl.program_id(0)
         n = pl.num_programs(0)
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
         def dma(slot_idx, tile):
             return pltpu.make_async_copy(
@@ -254,8 +254,8 @@ def _make_merged_kernel(C: int, w_rows: int, m_w: int, sg: int,
                scratch, sems):
         i = pl.program_id(0)
         n = pl.num_programs(0)
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
         def dma(s, t):
             return pltpu.make_async_copy(
@@ -298,8 +298,8 @@ def _make_asm_kernel(C: int, w_rows: int, vl: int):
                scratch, sems):
         i = pl.program_id(0)
         n = pl.num_programs(0)
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
         def dma(s, t):
             return pltpu.make_async_copy(
@@ -319,7 +319,7 @@ def _make_asm_kernel(C: int, w_rows: int, vl: int):
         crow = lidx >> 7
         rows = lidx.shape[0]
         mask = mask_ref[:]
-        first = jax.lax.rem(i, vl) == 0
+        first = jax.lax.rem(i, jnp.int32(vl)) == 0
         dma(slot, i).wait()
         for ch in range(C):
             acc = jnp.zeros(lidx.shape, scratch.dtype)
@@ -347,7 +347,7 @@ def blocked_assemble(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
     XLA fallback: plain gather + masked per-block sum."""
     C, S = src.shape
     vl = plan.vl
-    if not plan.ok or jax.default_backend() != "tpu":
+    if not plan.ok or jax.default_backend() != "tpu" or src.dtype.itemsize > 4:
         flat = plan.global_idx.reshape(-1)
         vals = src[:, flat] * plan.mask_tiles.reshape(-1).astype(src.dtype)
         nblk = plan.r_pad // (vl * plan.r_tile)
@@ -385,7 +385,9 @@ def blocked_gather(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
     Falls back to XLA's gather when the plan is not usable (CPU backend or
     window overflow)."""
     C, S = src.shape
-    if not plan.ok or jax.default_backend() != "tpu":
+    # f64 cannot enter TPU custom calls (XLA's x64 rewrite pass does not
+    # handle them); fall back to the XLA gather for wide dtypes
+    if not plan.ok or jax.default_backend() != "tpu" or src.dtype.itemsize > 4:
         flat = plan.global_idx.reshape(-1)[:plan.r]
         return src[:, flat]
 

@@ -137,7 +137,10 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
 
     t, disp_new, velo, cforce = _integrate(model, state)
     disp_e = gather_disp_e(model, disp_new)
-    pos_e = model.coord_e + disp_e
+    # model.coord_e is centered on each element's node 0; centering the
+    # displacement copies the same way keeps pos_e well-conditioned in f32
+    # for meshes far from the origin (J is translation-invariant)
+    pos_e = model.coord_e + (disp_e - disp_e[:, 0:1, :])
     du_e = disp_e - disp_e_prev
     qe, s_c, e_c, eq, y = element_core_c(
         model, pos_e, du_e, stress_c, strain_c, state.eq_ps, state.yield_s,
