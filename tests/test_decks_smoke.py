@@ -50,6 +50,15 @@ def test_crash_tube_self_contact():
     assert any(p.is_self for p in lm.pairs)
 
 
+def test_metal_cutting_deck():
+    """Tool-vs-workpiece cutting: contact + ductile ALU workpiece."""
+    lm, st = _run("metal-cutting.inp", 150)
+    assert lm.contact_flag == 1
+    assert lm.fracture_enabled
+    assert len(lm.pairs) == 2
+    assert float(np.abs(st.disp).max()) > 0.0
+
+
 def test_car_crash_mass_scaled():
     m = read_inp_file(ref_deck("car-crash-N2k.inp"))
     lm = lower(m)
