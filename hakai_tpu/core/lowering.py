@@ -174,7 +174,13 @@ class LoweredModel:
 
     @property
     def dtype(self):
+        """Kinematic dtype (nodal state; f64 in mixed mode)."""
         return self.coord.dtype
+
+    @property
+    def edtype(self):
+        """Element/contact math dtype (f32 in mixed mode)."""
+        return self.G_e.dtype
 
 
 def _instance_faces(model: Model, inst_idx: int):
@@ -392,8 +398,15 @@ def lower(model: Model, config: SolverConfig | None = None) -> LoweredModel:
 
 
 def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
-    dtype = jnp.dtype(cfg.dtype)
-    if dtype == jnp.float64:
+    # "mixed": f64 nodal kinematics (where the accumulate-and-difference
+    # cancellations live), f32 element/contact math (where the FLOPs are).
+    # Stabilizes long contact runs at near-f32 speed (docs/PERF.md).
+    if cfg.dtype == "mixed":
+        kdtype = jnp.dtype(jnp.float64)
+        dtype = jnp.dtype(jnp.float32)
+    else:
+        kdtype = dtype = jnp.dtype(cfg.dtype)
+    if kdtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
 
     nN, nE = model.n_node, model.n_element
@@ -627,13 +640,13 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         fracture_enabled=fracture_enabled,
         element_min_size=element_min_size, element_max_size=element_max_size,
         config=cfg,
-        coord=jnp.asarray(coord, dtype),
+        coord=jnp.asarray(coord, kdtype),
         elem=jnp.asarray(elem, jnp.int32),
         elem_exists=jnp.asarray(elem_exists),
         node_exists=jnp.asarray(node_exists),
         inc_idx=jnp.asarray(inc_idx, jnp.int32),
         inc_mask=jnp.asarray(inc_mask),
-        diag_M=jnp.asarray(diag_M, dtype),
+        diag_M=jnp.asarray(diag_M, kdtype),
         pusai=jnp.asarray(pusai, dtype),
         mat_id=jnp.asarray(mat_id, jnp.int32),
         G_e=jnp.asarray(G_e, dtype),
@@ -649,13 +662,13 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         du_n=jnp.asarray(du_n, jnp.int32),
         bc_node=jnp.asarray(bc_node, jnp.int32),
         bc_axis=jnp.asarray(bc_axis, jnp.int32),
-        bc_value=jnp.asarray(bc_value, dtype),
+        bc_value=jnp.asarray(bc_value, kdtype),
         bc_amp=jnp.asarray(bc_amp, jnp.int32),
         bc_mask=jnp.asarray(bc_mask),
-        amp_time=jnp.asarray(amp_time, dtype),
-        amp_value=jnp.asarray(amp_value, dtype),
+        amp_time=jnp.asarray(amp_time, kdtype),
+        amp_value=jnp.asarray(amp_value, kdtype),
         amp_n=jnp.asarray(amp_n, jnp.int32),
-        velo0=jnp.asarray(velo0, dtype),
+        velo0=jnp.asarray(velo0, kdtype),
         pairs=pairs,
         plan_pos=plan_pos,
         plan_asm=plan_asm,

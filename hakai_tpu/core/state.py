@@ -43,25 +43,26 @@ class SimState:
 
 
 def init_state(model: LoweredModel) -> SimState:
-    dt = model.dtype
+    kdt = model.dtype      # kinematic dtype (f64 in mixed mode)
+    edt = model.edtype     # element dtype (f32 in mixed mode)
     N, E = model.N, model.E
-    zeros3N = jnp.zeros((3, N), dt)
+    zeros3N = jnp.zeros((3, N), kdt)
     velo = model.velo0
     # IC encodes velocity through the back-difference start
     # (disp_pre = -v*dt, HAKAI_j.jl:232-239)
-    disp_pre = -velo * jnp.asarray(model.dt, dt)
-    yield_s = jnp.broadcast_to(model.yield0_e, (8, E)).astype(dt)
+    disp_pre = -velo * jnp.asarray(model.dt, kdt)
+    yield_s = jnp.broadcast_to(model.yield0_e, (8, E)).astype(edt)
     return SimState(
         t=jnp.zeros((), jnp.int32),
         disp=zeros3N,
         disp_pre=disp_pre,
         velo=velo,
         Q=zeros3N,
-        stress=jnp.zeros((6, 8, E), dt),
-        strain=jnp.zeros((6, 8, E), dt),
-        eq_ps=jnp.zeros((8, E), dt),
+        stress=jnp.zeros((6, 8, E), edt),
+        strain=jnp.zeros((6, 8, E), edt),
+        eq_ps=jnp.zeros((8, E), edt),
         yield_s=yield_s,
-        triax=jnp.zeros((8, E), dt),
+        triax=jnp.zeros((8, E), edt),
         element_flag=model.elem_exists,
         contact_force=zeros3N,
     )

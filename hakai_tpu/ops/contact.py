@@ -285,10 +285,13 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
 
 
 def contact_forces(model: LoweredModel, state) -> jnp.ndarray:
-    """Sum of all directional contact-pair forces, (3, N)."""
-    position = model.coord + state.disp
+    """Sum of all directional contact-pair forces, (3, N) in the kinematic
+    dtype (narrow phase runs in edtype — f32 in mixed mode)."""
+    edt = model.edtype
+    position = (model.coord + state.disp).astype(edt)
+    velo = state.velo.astype(edt)
     total = jnp.zeros_like(position)
     for pair in model.pairs:
-        total = total + _pair_force(model, pair, position, state.velo,
+        total = total + _pair_force(model, pair, position, velo,
                                     state.element_flag)
-    return total
+    return total.astype(model.dtype)

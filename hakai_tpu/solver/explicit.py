@@ -104,7 +104,7 @@ def _integrate(model: LoweredModel, state: SimState):
 def _finish(model: LoweredModel, state: SimState, t, disp_new, velo, cforce,
             res) -> SimState:
     """Assembly + triaxiality + erosion + state swap (HAKAI_j.jl:662-804)."""
-    Q = assemble_internal_force(model, res.Qe)
+    Q = assemble_internal_force(model, res.Qe).astype(model.dtype)
     triax = triax_stress(res.stress)
     flag = state.element_flag
     stress, strain = res.stress, res.strain
@@ -120,7 +120,12 @@ def _finish(model: LoweredModel, state: SimState, t, disp_new, velo, cforce,
 
 def step(model: LoweredModel, state: SimState) -> SimState:
     t, disp_new, velo, cforce = _integrate(model, state)
-    res = element_update(model, model.coord + disp_new, disp_new - state.disp,
+    # element/contact math runs in edtype (f32 in mixed mode); the kinematic
+    # difference d_disp is taken in the (possibly wider) nodal dtype FIRST so
+    # no cancellation noise enters the strain increments
+    edt = model.edtype
+    res = element_update(model, (model.coord + disp_new).astype(edt),
+                         (disp_new - state.disp).astype(edt),
                          state.stress, state.strain, state.eq_ps,
                          state.yield_s, state.element_flag)
     return _finish(model, state, t, disp_new, velo, cforce, res)
@@ -145,7 +150,7 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
     qe, s_c, e_c, eq, y = element_core_c(
         model, pos_e, du_e, stress_c, strain_c, state.eq_ps, state.yield_s,
         state.element_flag)
-    Q = assemble_internal_force(model, qe)
+    Q = assemble_internal_force(model, qe).astype(model.dtype)
     triax = triax_components(s_c)
     flag = state.element_flag
     if model.fracture_enabled:
@@ -162,7 +167,9 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
 
 @partial(jax.jit, static_argnums=(2,))
 def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
-    if model.coord_e is not None:
+    # the disp_e-carry fast path requires uniform dtype (mixed mode must take
+    # kinematic differences in f64 before casting, so it uses the generic step)
+    if model.coord_e is not None and model.dtype == model.edtype:
         from ..ops.element import gather_disp_e
 
         disp_e0 = gather_disp_e(model, state.disp)
