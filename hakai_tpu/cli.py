@@ -14,8 +14,11 @@ def main(argv=None):
         prog="hakai_tpu",
         description="TPU-native dynamic-explicit FEM solver (.inp in, VTK out)")
     ap.add_argument("inp", help="Abaqus .inp input deck")
-    ap.add_argument("--precision", choices=["f32", "f64"], default="f64",
-                    help="state dtype (f64 matches the reference)")
+    ap.add_argument("--precision", choices=["f32", "f64", "mixed"],
+                    default="f64",
+                    help="f64 matches the reference; mixed = f64 nodal "
+                         "kinematics + f32 element/contact math (fast and "
+                         "stable for long contact runs)")
     ap.add_argument("--out-dir", default="temp", help="VTK output directory")
     ap.add_argument("--output-num", type=int, default=100,
                     help="number of VTK frames (reference: 100)")
@@ -39,7 +42,8 @@ def main(argv=None):
 
     from .config import ContactConfig, SolverConfig
     cfg = SolverConfig(
-        dtype="float64" if args.precision == "f64" else "float32",
+        dtype={"f64": "float64", "f32": "float32",
+               "mixed": "mixed"}[args.precision],
         out_dir=args.out_dir,
         output_num=args.output_num,
         node_pad=args.node_pad,
@@ -49,7 +53,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         check_nan=args.check_nan,
     )
-    if cfg.dtype == "float64":
+    if cfg.dtype in ("float64", "mixed"):
         import jax
         jax.config.update("jax_enable_x64", True)
 
