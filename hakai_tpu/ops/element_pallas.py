@@ -50,7 +50,7 @@ def element_core_pallas(model: LoweredModel, pos_e, du, stress, strain,
 
     def spec(lead):
         return pl.BlockSpec(lead + (TE,),
-                            lambda i, nl=len(lead): (0,) * nl + (i,),
+                            lambda i, nl=len(lead): (jnp.asarray(0, jnp.int32),) * nl + (i,),
                             memory_space=pltpu.VMEM)
 
     flag_i = element_flag.astype(jnp.int32)[None]        # (1, E)
@@ -63,7 +63,8 @@ def element_core_pallas(model: LoweredModel, pos_e, du, stress, strain,
         _make_kernel(model.pl_tables),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, 3, 8), lambda i: (0, 0, 0),
+            pl.BlockSpec((8, 3, 8),
+                         lambda i: (jnp.asarray(0, jnp.int32),) * 3,
                          memory_space=pltpu.VMEM),       # pusai table
             spec((3, 8)), spec((3, 8)),                  # pos_e, du
             spec((6, 8)), spec((6, 8)),                  # stress, strain

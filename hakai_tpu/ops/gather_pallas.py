@@ -34,6 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
+def _I0():
+    # int32 zero for BlockSpec index maps (plain 0 promotes to i64 under
+    # x64 mode, which Mosaic cannot legalize)
+    return jnp.asarray(0, jnp.int32)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class GatherPlan:
@@ -359,12 +365,14 @@ def blocked_assemble(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
         num_scalar_prefetch=1,
         grid=(plan.n_tiles,),
         in_specs=[
-            pl.BlockSpec((rows_per_tile, LANE), lambda i, starts: (i, 0)),
-            pl.BlockSpec((rows_per_tile, LANE), lambda i, starts: (i, 0)),
+            pl.BlockSpec((rows_per_tile, LANE),
+                         lambda i, starts: (i, _I0())),
+            pl.BlockSpec((rows_per_tile, LANE),
+                         lambda i, starts: (i, _I0())),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((C, rows_per_tile, LANE),
-                               lambda i, starts: (0, i // plan.vl, 0)),
+                               lambda i, starts: (_I0(), i // plan.vl, _I0())),
         scratch_shapes=[
             pltpu.VMEM((2, plan.w_rows, C, LANE), src.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -400,11 +408,11 @@ def blocked_gather(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
             grid=(n_m,),
             in_specs=[
                 pl.BlockSpec((plan.sg * rows_sub, LANE),
-                             lambda i, ms, so: (i, 0)),
+                             lambda i, ms, so: (i, _I0())),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec((C, plan.sg * rows_sub, LANE),
-                                   lambda i, ms, so: (0, i, 0)),
+                                   lambda i, ms, so: (_I0(), i, _I0())),
             scratch_shapes=[
                 pltpu.VMEM((2, plan.m_w_rows, C, LANE), src.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -426,11 +434,12 @@ def blocked_gather(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
         num_scalar_prefetch=1,
         grid=(plan.n_tiles,),
         in_specs=[
-            pl.BlockSpec((rows_per_tile, LANE), lambda i, starts: (i, 0)),
+            pl.BlockSpec((rows_per_tile, LANE),
+                         lambda i, starts: (i, _I0())),
             pl.BlockSpec(memory_space=pltpu.ANY),    # src stays in HBM
         ],
         out_specs=pl.BlockSpec((C, rows_per_tile, LANE),
-                               lambda i, starts: (0, i, 0)),
+                               lambda i, starts: (_I0(), i, _I0())),
         scratch_shapes=[
             pltpu.VMEM((2, plan.w_rows, C, LANE), src.dtype),
             pltpu.SemaphoreType.DMA((2,)),
