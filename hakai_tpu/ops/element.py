@@ -230,27 +230,32 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     inv_det = 1.0 / _w(detJ == 0, 1.0, detJ)
     invJ = _inv3(J, inv_det)
 
-    # P[a][i] = dN_i/dx_a at each gauss point: sum_b invJ[a][b]*pus[k,b,i]
-    P = [[None] * 8 for _ in range(3)]
-    for a in range(3):
-        for i in range(8):
-            acc = None
-            for b in range(3):
-                col = pus[:, b, i:i + 1]                           # (8,1)
-                term = invJ[a][b] * col
-                acc = term if acc is None else acc + term
-            P[a][i] = acc                                          # (8, B)
+    # The physical shape-function gradients P[a][i] = dN_i/dx_a
+    # (= sum_c invJ[a][c]*pus[k,c,i]) are never materialized: 24 (8,B)
+    # arrays (~100 MB at 131k elements) that XLA would round-trip through
+    # HBM between the strain and force fusions.  Instead the constant pus
+    # contraction is pushed to the outside of every use of P (the contraction
+    # order is reassociated; same math as cal_Bfinal, HAKAI_j.jl:1415-1519).
 
     V = detJ_abs.sum(axis=0)                            # (B,)
     inv_V = 1.0 / _w(V == 0, 1.0, V)
 
     # displacement gradient g[a][b] = d u_b / d x_a
+    #   = sum_i P[a][i] du[b,i] = sum_c invJ[a][c] * Gdu[c][b]
+    # with Gdu[c][b] = sum_i pus[k,c,i] du[b,i] (reference-coordinate grad).
+    Gdu = [[None] * 3 for _ in range(3)]
+    for c in range(3):
+        for b in range(3):
+            acc = pus[:, c, 0:1] * du[b, 0][None, :]
+            for i in range(1, 8):
+                acc = acc + pus[:, c, i:i + 1] * du[b, i][None, :]
+            Gdu[c][b] = acc                             # (8, B)
     g = [[None] * 3 for _ in range(3)]
     for a in range(3):
         for b in range(3):
-            acc = P[a][0] * du[b, 0][None, :]
-            for i in range(1, 8):
-                acc = acc + P[a][i] * du[b, i][None, :]
+            acc = invJ[a][0] * Gdu[0][b]
+            for c in range(1, 3):
+                acc = acc + invJ[a][c] * Gdu[c][b]
             g[a][b] = acc                               # (8, B)
     tr = g[0][0] + g[1][1] + g[2][2]
     volbar = ((detJ_abs * tr).sum(axis=0) * inv_V / 3.0)[None, :]   # (1, B)
@@ -296,6 +301,13 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     # --- internal force ---
     # f_k[i,b] = sum_a P[a][i] sig[a,b] - (P[b][i] - Pbar[b,i]) sig_m
     # Qe[b,i]  = sum_k detJ_k f_k[i,b]   (W=1)
+    # With P[a][i] = sum_c invJ[a][c] pus[k,c,i], every P use folds into
+    #   Qe[b,i] = sum_c sum_k pus[k,c,i] * M[c][b][k]
+    # where the 9 moment arrays
+    #   M[c][b] = w*(sum_a invJ[a][c] s_t[a][b] - invJ[b][c] sig_m)
+    #             + wdet*invJ[b][c]*sum_w_sig_m
+    # carry all the element-dependent data; pus entries are compile-time
+    # scalars, so the final contraction is a constant-coefficient k-sum.
     sig_m = (final[0] + final[1] + final[2]) / 3.0       # (8,B)
     s_t = [[final[0], final[3], final[5]],
            [final[3], final[1], final[4]],
@@ -303,16 +315,20 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     w = detJ
     sum_w_sig_m = (w * sig_m).sum(axis=0)                # (B,)
     wdet = detJ_abs * inv_V                              # (8,B) Pbar weights
+    M = [[None] * 3 for _ in range(3)]
+    for c in range(3):
+        for b in range(3):
+            acc = invJ[0][c] * s_t[0][b] + invJ[1][c] * s_t[1][b] \
+                + invJ[2][c] * s_t[2][b]
+            acc = acc - invJ[b][c] * sig_m
+            M[c][b] = w * acc + wdet * (invJ[b][c] * sum_w_sig_m[None, :])
     rows = []
     for b in range(3):
         cols = []
         for i in range(8):
-            acc = P[0][i] * s_t[0][b] + P[1][i] * s_t[1][b] + P[2][i] * s_t[2][b]
-            acc = acc - P[b][i] * sig_m
-            qe = (w * acc).sum(axis=0)                   # (B,)
-            pbar_bi = (wdet * P[b][i]).sum(axis=0)       # (B,)
-            qe = qe + pbar_bi * sum_w_sig_m
-            cols.append(qe)
+            t = pus[:, 0, i:i + 1] * M[0][b] + pus[:, 1, i:i + 1] * M[1][b] \
+                + pus[:, 2, i:i + 1] * M[2][b]
+            cols.append(t.sum(axis=0))                   # (B,)
         rows.append(jnp.stack(cols))                     # (8, B)
     Qe = jnp.stack(rows)                                 # (3, 8, B)
     Qe = _w(element_flag[None, None, :], Qe, 0.0)
