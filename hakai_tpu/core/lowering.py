@@ -628,7 +628,8 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         asm_idx = np.concatenate([l[0] for l in lanes])
         asm_mask = np.stack([l[1] for l in lanes])
         plan_asm = plan_blocked_gather(asm_idx, 8 * E,
-                                       valid=asm_mask.reshape(-1))
+                                       valid=asm_mask.reshape(-1),
+                                       subgroups=4)
 
     return LoweredModel(
         pl_tables=pl_tables, du_tables=du_tables,

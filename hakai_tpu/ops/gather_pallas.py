@@ -57,6 +57,14 @@ class GatherPlan:
     # in-kernel accumulation: vl consecutive tiles sum (masked) into one
     # output block — used for internal-force assembly (output is (C, r/vl))
     vl: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # diagonal mode: each output row s of a tile uses window base starts+s
+    # (linear in s), so the kernel selects over only dk diagonal slices
+    # instead of all w_rows chunks (dk=0 disables; see plan_blocked_gather)
+    dk: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # static scratch front-pad for diag plans whose first tiles would need
+    # window rows before source row 0 (index drift slope < 1 near the origin)
+    pad: int = dataclasses.field(metadata=dict(static=True), default=0)
+    d_off: jnp.ndarray = None      # (n_m,) int32 scratch DMA dest offsets
     mask_tiles: jnp.ndarray = None   # (r_pad//LANE, LANE) f32 0/1
     starts: jnp.ndarray = None     # (n_tiles,) int32 window starts (row units)
     local_idx: jnp.ndarray = None  # (r_pad//LANE, LANE) int32 idx - starts*128
@@ -69,7 +77,8 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
                         valid: np.ndarray | None = None,
                         r_tile: int = 2048,
                         max_w_rows: int = 64,
-                        subgroups: int = 1) -> GatherPlan:
+                        subgroups: int = 1,
+                        diag_max_k: int = 6) -> GatherPlan:
     """Build a :class:`GatherPlan` for gathering ``indices`` (R,) out of a
     source of length ``source_len`` (must be a multiple of 128).
 
@@ -114,11 +123,87 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
     local = np.where(vtiles, local, 0).astype(np.int32)
     glob = np.where(validp, idxp, 0).astype(np.int32)
 
+    # --- diagonal mode: when the index drift within each tile is near-linear
+    # (~1 source chunk per 128 outputs — true for bandwidth-ordered meshes),
+    # give output row s the window base starts[t]+s.  The kernel then reads
+    # dk static diagonal slices scratch[base+d : base+d+rows] instead of
+    # selecting over all w_rows chunks: VPU lookup work drops w_rows/dk-fold.
+    dk = 0
+    pad = 0
+    d_off = None
+    rows_t = r_tile // LANE
+    w_cap = rows_t + max(diag_max_k, 1) - 1
+    if ok and diag_max_k > 0 and src_rows >= w_cap:
+        chunks = (tiles >> 7).reshape(n_tiles, rows_t, LANE)
+        vt3 = vtiles.reshape(n_tiles, rows_t, LANE)
+        s_col = np.arange(rows_t)[:, None]
+        cmin = np.where(vt3, chunks, np.iinfo(np.int64).max).min(axis=2)
+        row_used = cmin < np.iinfo(np.int64).max
+        base_rows = np.where(row_used, cmin - s_col.T, np.iinfo(np.int64).max)
+        w0 = base_rows.min(axis=1)                       # (n_tiles,)
+        w0 = np.where(w0 == np.iinfo(np.int64).max, 0, w0)   # empty tiles
+        # w0 may run past EITHER end of the source (index drift slope < 1
+        # near the origin / > "needed" at the top): the DMA below clamps the
+        # copy range and re-aligns with a dynamic scratch dest offset, so no
+        # clamp is applied to w0 itself (which would break linearity).
+        d_rel = chunks - (w0[:, None, None] + s_col[None])
+        d_rel = np.where(vt3, d_rel, 0)
+        k = int(d_rel.max()) + 1
+        if d_rel.min() >= 0 and k <= diag_max_k:
+            dk = k
+            legacy = (w_rows, starts, local)     # restored if merge fails
+            w_rows = rows_t + k - 1
+            starts = w0.astype(np.int32)
+            base_lane = ((w0[:, None, None] + s_col[None]) * LANE)
+            local = np.where(vt3, tiles.reshape(n_tiles, rows_t, LANE)
+                             - base_lane, 0).astype(np.int32)
+
     local = local.reshape(-1)
     sg = max(int(subgroups), 1)
     m_starts = sub_off = None
     m_w = 0
-    if sg > 1:
+    if dk > 0:
+        # Merge sg subtile windows per grid step in VIRTUAL row space
+        # (virtual row = source row + lead, lead = -min(w0)): the DMA copies
+        # m_w real rows to a dynamic dest offset that clamps the copy inside
+        # the source at both ends; scratch rows outside the copy are stale
+        # but only read by select-discarded lanes.
+        lead = int(max(0, -starts.min()))
+        w0v_t = starts.astype(np.int64) + lead
+        # groups that straddle index-segment boundaries (e.g. assembly lanes)
+        # inflate the merged window; shrink sg until the window is modest
+        while True:
+            n_m = -(-n_tiles // sg)
+            w0v = np.concatenate(
+                [w0v_t, np.repeat(w0v_t[-1:], n_m * sg - n_tiles)])
+            s2 = w0v.reshape(n_m, sg)
+            mv = s2.min(axis=1)
+            m_w = int((s2 + w_rows - mv[:, None]).max())
+            if m_w <= min(src_rows, max(4 * w_rows, 192)) or sg == 1:
+                break
+            sg //= 2
+        if m_w > src_rows:
+            dk = 0                       # source too small for static copies
+            w_rows, starts, local = legacy
+            m_w = 0
+        else:
+            sub_off_a = (s2 - mv[:, None]).astype(np.int64)
+            src_start = np.clip(mv - lead, 0, src_rows - m_w)
+            dst_raw = lead + src_start - mv
+            dst_clamped = np.maximum(dst_raw, 0)
+            sub_off_a += (dst_clamped - dst_raw)[:, None]
+            pad = int(dst_clamped.max())     # extra scratch rows above m_w
+            r_pad2 = n_m * sg * r_tile
+            if r_pad2 > r_pad:
+                local = np.concatenate(
+                    [local, np.zeros(r_pad2 - r_pad, np.int32)])
+                glob = np.concatenate(
+                    [glob, np.zeros(r_pad2 - r_pad, np.int32)])
+                r_pad = r_pad2
+            m_starts = jnp.asarray(src_start.astype(np.int32))
+            sub_off = jnp.asarray(sub_off_a.astype(np.int32))
+            d_off = jnp.asarray(dst_clamped.astype(np.int32))
+    if dk == 0 and sg > 1:
         n_m = -(-n_tiles // sg)
         starts_pad = np.concatenate(
             [starts, np.repeat(starts[-1:], n_m * sg - n_tiles)])
@@ -128,7 +213,7 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
         m_w = min(m_w, src_rows)
         m_start = np.minimum(m_start, max(src_rows - m_w, 0))
         sub_off_a = (s2 - m_start[:, None]).astype(np.int32)
-        if (sub_off_a + w_rows > m_w).any():
+        if (sub_off_a + w_rows > m_w).any() or m_w > max(4 * w_rows, 192):
             sg = 1          # merged window cannot cover; fall back to legacy
         else:
             # pad index blocks to the merged grid
@@ -144,12 +229,12 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
 
     return GatherPlan(
         r=r, r_pad=r_pad, r_tile=r_tile, w_rows=int(w_rows),
-        n_tiles=n_tiles, ok=bool(ok),
-        sg=sg, m_w_rows=int(m_w) if sg > 1 else 0,
+        n_tiles=n_tiles, ok=bool(ok), dk=int(dk), pad=int(pad),
+        sg=sg, m_w_rows=int(m_w) if (sg > 1 or dk > 0) else 0,
         starts=jnp.asarray(starts),
         local_idx=jnp.asarray(np.asarray(local).reshape(r_pad // LANE, LANE)),
         global_idx=jnp.asarray(np.asarray(glob).reshape(r_pad // LANE, LANE)),
-        m_starts=m_starts, sub_off=sub_off,
+        m_starts=m_starts, sub_off=sub_off, d_off=d_off,
     )
 
 
@@ -162,7 +247,7 @@ def plan_assemble(idx_grouped: np.ndarray, mask_grouped: np.ndarray,
     the (C, vl*N) intermediate never materializes)."""
     plan = plan_blocked_gather(idx_grouped, source_len,
                                valid=mask_grouped, r_tile=r_tile,
-                               max_w_rows=max_w_rows)
+                               max_w_rows=max_w_rows, diag_max_k=0)
     r_pad = plan.r_pad
     mt = np.zeros(r_pad, np.float32)
     mt[:len(mask_grouped)] = np.asarray(mask_grouped, np.float32)
@@ -296,6 +381,70 @@ def _make_merged_kernel(C: int, w_rows: int, m_w: int, sg: int,
     return kernel
 
 
+def _make_diag_kernel(C: int, dk: int, m_w: int, sg: int, rows_sub: int):
+    """Linear-base window gather: output row s of (sub)tile g reads window
+    rows base_g+s .. base_g+s+dk-1, so the chunk resolve is dk static
+    *diagonal* slices scratch[off+d : off+d+rows] (row s of the slice is
+    window row off+d+s) instead of a select over all w_rows chunks.
+
+    Scratch is channel-major so each diagonal slice is one contiguous
+    (rows, 128) block; the window is DMA'd per channel (C copies/step,
+    all double-buffered).  The DMA dest offset (d_off) realizes the plan's
+    virtual front pad: scratch rows before it are stale, but only lanes the
+    select discards ever read them."""
+    def kernel(srcstart_ref, dstoff_ref, suboff_ref, lidx_ref, src_hbm,
+               out_ref, scratch, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+        pad = scratch.shape[2] - m_w
+
+        def dma(s, t, ch):
+            # ch as an int32 constant: a python int index promotes to i64
+            # under x64 mode, which tpu.memref_slice rejects
+            chi = jnp.asarray(ch, jnp.int32)
+            return pltpu.make_async_copy(
+                src_hbm.at[chi, pl.ds(srcstart_ref[t], m_w)],
+                scratch.at[s, chi, pl.ds(dstoff_ref[t], m_w)],
+                sems.at[s, chi])
+
+        @pl.when(i == 0)
+        def _():
+            if pad > 0:
+                # stale rows (outside each step's DMA copy) are read by
+                # select-discarded lanes only; zero once so they can never
+                # hold NaN bit patterns from uninitialized VMEM
+                scratch[...] = jnp.zeros(scratch.shape, scratch.dtype)
+            for ch in range(C):
+                dma(slot, i, ch).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            for ch in range(C):
+                dma(nxt, i + 1, ch).start()
+
+        lidx = lidx_ref[:]                          # (sg*rows_sub, 128)
+        lane = lidx & (LANE - 1)
+        drow = lidx >> 7                            # diagonal index in [0,dk)
+        for ch in range(C):
+            dma(slot, i, ch).wait()
+        for ch in range(C):
+            for g in range(sg):
+                sl = slice(g * rows_sub, (g + 1) * rows_sub)
+                lane_g = lane[sl]
+                drow_g = drow[sl]
+                off = suboff_ref[i, g]
+                acc = jnp.zeros((rows_sub, LANE), scratch.dtype)
+                for d in range(dk):
+                    row_b = scratch[slot, ch,
+                                    pl.ds(off + jnp.int32(d), rows_sub), :]
+                    val = _lane_lookup(row_b, lane_g)
+                    acc = jax.lax.select(drow_g == d, val, acc)
+                out_ref[ch, sl] = acc
+    return kernel
+
+
 def _make_asm_kernel(C: int, w_rows: int, vl: int):
     """Window gather + masked in-place accumulation of vl consecutive tiles
     into one output block (grid revisits the block; TPU grids are
@@ -398,6 +547,33 @@ def blocked_gather(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
     if not plan.ok or jax.default_backend() != "tpu" or src.dtype.itemsize > 4:
         flat = plan.global_idx.reshape(-1)[:plan.r]
         return src[:, flat]
+
+    if plan.dk > 0:
+        src3 = src.reshape(C, S // LANE, LANE)       # channel-major, no copy
+        rows_sub = plan.r_tile // LANE
+        n_m = plan.m_starts.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_m,),
+            in_specs=[
+                pl.BlockSpec((plan.sg * rows_sub, LANE),
+                             lambda i, ss, do, so: (i, _I0())),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((C, plan.sg * rows_sub, LANE),
+                                   lambda i, ss, do, so: (_I0(), i, _I0())),
+            scratch_shapes=[
+                pltpu.VMEM((2, C, plan.pad + plan.m_w_rows, LANE), src.dtype),
+                pltpu.SemaphoreType.DMA((2, C)),
+            ],
+        )
+        out = pl.pallas_call(
+            _make_diag_kernel(C, plan.dk, plan.m_w_rows, plan.sg, rows_sub),
+            out_shape=jax.ShapeDtypeStruct((C, plan.r_pad // LANE, LANE),
+                                           src.dtype),
+            grid_spec=grid_spec,
+        )(plan.m_starts, plan.d_off, plan.sub_off, plan.local_idx, src3)
+        return out.reshape(C, plan.r_pad)[:, :plan.r]
 
     if plan.sg > 1:
         src3 = src.reshape(C, S // LANE, LANE).transpose(1, 0, 2)

@@ -46,3 +46,50 @@ def test_plan_masked_entries_ignored():
     # masked far-away entries must not widen the window
     assert plan.ok
     assert plan.w_rows <= 16 + 1
+
+
+def test_diag_plan_decode():
+    """Diag plans: valid entries decode to the original index under the
+    linear per-row base (starts[t]+s)*128 + local_idx."""
+    rng = np.random.default_rng(3)
+    idx = np.sort(np.cumsum(rng.integers(0, 3, 60000)) % 150000)
+    valid = rng.random(60000) > 0.1
+    p = plan_blocked_gather(idx, 153600, valid=valid, subgroups=4)
+    assert p.dk > 0
+    rows_t = p.r_tile // 128
+    li = np.asarray(p.local_idx).reshape(-1, rows_t, 128)[:p.n_tiles]
+    st = np.asarray(p.starts).astype(np.int64)
+    s = np.arange(rows_t)[None, :, None]
+    dec = ((st[:, None, None] + s) * 128 + li).reshape(-1)
+    n = p.n_tiles * p.r_tile
+    idxp = np.zeros(n, np.int64); idxp[:len(idx)] = idx
+    vp = np.zeros(n, bool); vp[:len(valid)] = valid
+    assert (dec[vp] == idxp[vp]).all()
+    assert (li >> 7).max() < p.dk
+    # DMA geometry: copies stay inside the source at both ends
+    ss = np.asarray(p.m_starts)
+    assert (ss >= 0).all() and (ss + p.m_w_rows <= 153600 // 128).all()
+    do = np.asarray(p.d_off)
+    assert (do >= 0).all() and do.max() <= p.pad
+
+
+def test_diag_plan_negative_base():
+    """Index drift slope < 1 near the origin forces a virtual front pad."""
+    # slope 0.9: early tiles need window rows "before" source row 0
+    idx = (np.arange(40960) * 0.9).astype(np.int64)
+    p = plan_blocked_gather(idx, 81920, subgroups=4)
+    assert p.dk > 0 and p.pad > 0
+    src = np.arange(3 * 81920, dtype=np.float32).reshape(3, 81920)
+    out = np.asarray(blocked_gather(jnp.asarray(src), p))  # CPU: XLA fallback
+    np.testing.assert_array_equal(out, src[:, idx])
+
+
+def test_diag_fallback_scattered():
+    """Random (non-local) indices must reject diag AND stay correct."""
+    rng = np.random.default_rng(4)
+    idx = rng.integers(0, 150000, 40960)
+    p = plan_blocked_gather(idx, 153600, subgroups=4)
+    assert p.dk == 0
+    src = rng.standard_normal((2, 153600)).astype(np.float32)
+    out = np.asarray(blocked_gather(jnp.asarray(src), p))
+    np.testing.assert_array_equal(out, src[:, idx])
