@@ -627,6 +627,11 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         asm_vl = len(lanes)
         asm_idx = np.concatenate([l[0] for l in lanes])
         asm_mask = np.stack([l[1] for l in lanes])
+        # NOTE: an in-kernel accumulation variant (node-block-major grouping
+        # + blocked_assemble, which keeps the (3, vl*N) intermediate out of
+        # HBM) measured ~100 us/step SLOWER: revisiting the output block
+        # (index_map i // vl) defeats Pallas's output pipelining.  The plain
+        # gather + XLA masked-sum stays (docs/PERF.md).
         plan_asm = plan_blocked_gather(asm_idx, 8 * E,
                                        valid=asm_mask.reshape(-1),
                                        subgroups=4)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.lowering import LoweredModel
-from .gather_pallas import blocked_gather
+from .gather_pallas import blocked_assemble, blocked_gather
 from .shape import pusai_hexa
 
 # static shape-gradient coefficients, unrolled at trace time
@@ -344,6 +344,9 @@ def assemble_internal_force(model: LoweredModel, Qe: jnp.ndarray) -> jnp.ndarray
     each node sums its (element, slot) contributions in a fixed order.
     """
     qf = Qe.reshape(3, -1)                   # (3, 8*E), index i*E+e
+    if model.plan_asm is not None and model.plan_asm.vl > 0:
+        # in-kernel accumulation over the vl lanes (node-block-major plan)
+        return blocked_assemble(qf, model.plan_asm)[:, :model.N]
     if model.plan_asm is not None:
         vals = blocked_gather(qf, model.plan_asm)         # (3, VL*N)
         vals = vals.reshape(3, model.asm_vl, model.N)

@@ -240,14 +240,15 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
 
 def plan_assemble(idx_grouped: np.ndarray, mask_grouped: np.ndarray,
                   source_len: int, vl: int, r_tile: int = 2048,
-                  max_w_rows: int = 64) -> GatherPlan:
+                  max_w_rows: int = 64, diag_max_k: int = 6) -> GatherPlan:
     """Plan a gather-and-accumulate: indices are ordered so that ``vl``
     consecutive tiles target the same output block; the kernel sums their
     masked values in place (used for slot-pure internal-force assembly —
     the (C, vl*N) intermediate never materializes)."""
     plan = plan_blocked_gather(idx_grouped, source_len,
                                valid=mask_grouped, r_tile=r_tile,
-                               max_w_rows=max_w_rows, diag_max_k=0)
+                               max_w_rows=max_w_rows, subgroups=1,
+                               diag_max_k=diag_max_k)
     r_pad = plan.r_pad
     mt = np.zeros(r_pad, np.float32)
     mt[:len(mask_grouped)] = np.asarray(mask_grouped, np.float32)
@@ -445,6 +446,64 @@ def _make_diag_kernel(C: int, dk: int, m_w: int, sg: int, rows_sub: int):
     return kernel
 
 
+def _make_diag_asm_kernel(C: int, dk: int, m_w: int, rows_sub: int, vl: int):
+    """Diagonal-slice gather + masked accumulation of vl consecutive tiles
+    into one output block (TPU grids are sequential: race-free, fixed
+    order).  The (C, vl*N) gathered intermediate never reaches HBM."""
+    def kernel(srcstart_ref, dstoff_ref, suboff_ref, lidx_ref, mask_ref,
+               src_hbm, out_ref, scratch, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+        pad = scratch.shape[2] - m_w
+
+        def dma(s, t, ch):
+            chi = jnp.asarray(ch, jnp.int32)
+            return pltpu.make_async_copy(
+                src_hbm.at[chi, pl.ds(srcstart_ref[t], m_w)],
+                scratch.at[s, chi, pl.ds(dstoff_ref[t], m_w)],
+                sems.at[s, chi])
+
+        @pl.when(i == 0)
+        def _():
+            if pad > 0:
+                scratch[...] = jnp.zeros(scratch.shape, scratch.dtype)
+            for ch in range(C):
+                dma(slot, i, ch).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            for ch in range(C):
+                dma(nxt, i + 1, ch).start()
+
+        lidx = lidx_ref[:]
+        lane = lidx & (LANE - 1)
+        drow = lidx >> 7
+        mask = mask_ref[:]
+        first = jax.lax.rem(i, jnp.int32(vl)) == 0
+        for ch in range(C):
+            dma(slot, i, ch).wait()
+        for ch in range(C):
+            off = suboff_ref[i, 0]
+            acc = jnp.zeros((rows_sub, LANE), scratch.dtype)
+            for d in range(dk):
+                row_b = scratch[slot, ch,
+                                pl.ds(off + jnp.int32(d), rows_sub), :]
+                val = _lane_lookup(row_b, lane)
+                acc = jax.lax.select(drow == d, val, acc)
+            acc = acc * mask
+
+            @pl.when(first)
+            def _(ch=ch, acc=acc):
+                out_ref[ch] = acc
+
+            @pl.when(jnp.logical_not(first))
+            def _(ch=ch, acc=acc):
+                out_ref[ch] = out_ref[ch] + acc
+    return kernel
+
+
 def _make_asm_kernel(C: int, w_rows: int, vl: int):
     """Window gather + masked in-place accumulation of vl consecutive tiles
     into one output block (grid revisits the block; TPU grids are
@@ -508,6 +567,36 @@ def blocked_assemble(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
         nblk = plan.r_pad // (vl * plan.r_tile)
         return vals.reshape(C, nblk, vl, plan.r_tile).sum(axis=2
                                                           ).reshape(C, -1)
+    if plan.dk > 0:
+        src3 = src.reshape(C, S // LANE, LANE)       # channel-major
+        rows_sub = plan.r_tile // LANE
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(plan.n_tiles,),
+            in_specs=[
+                pl.BlockSpec((rows_sub, LANE),
+                             lambda i, ss, do, so: (i, _I0())),
+                pl.BlockSpec((rows_sub, LANE),
+                             lambda i, ss, do, so: (i, _I0())),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (C, rows_sub, LANE),
+                lambda i, ss, do, so: (_I0(), i // plan.vl, _I0())),
+            scratch_shapes=[
+                pltpu.VMEM((2, C, plan.pad + plan.m_w_rows, LANE), src.dtype),
+                pltpu.SemaphoreType.DMA((2, C)),
+            ],
+        )
+        out = pl.pallas_call(
+            _make_diag_asm_kernel(C, plan.dk, plan.m_w_rows, rows_sub,
+                                  plan.vl),
+            out_shape=jax.ShapeDtypeStruct(
+                (C, plan.r_pad // vl // LANE, LANE), src.dtype),
+            grid_spec=grid_spec,
+        )(plan.m_starts, plan.d_off, plan.sub_off, plan.local_idx,
+          plan.mask_tiles, src3)
+        return out.reshape(C, plan.r_pad // vl)
     src3 = src.reshape(C, S // LANE, LANE).transpose(1, 0, 2)
     rows_per_tile = plan.r_tile // LANE
     grid_spec = pltpu.PrefetchScalarGridSpec(
