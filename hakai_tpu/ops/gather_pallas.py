@@ -70,7 +70,8 @@ class GatherPlan:
     local_idx: jnp.ndarray = None  # (r_pad//LANE, LANE) int32 idx - starts*128
     global_idx: jnp.ndarray = None  # (r_pad//LANE, LANE) int32 (XLA fallback)
     m_starts: jnp.ndarray = None   # (n_m,) int32 merged-window starts
-    sub_off: jnp.ndarray = None    # (n_m, sg) int32 window offset in merged
+    sub_off: jnp.ndarray = None    # (n_m*sg,) int32 window offset in merged
+    #   window, flattened 1-D (2-D SMEM prefetch arrays pad to 512 B/row)
 
 
 def plan_blocked_gather(indices: np.ndarray, source_len: int,
@@ -201,7 +202,7 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
                     [glob, np.zeros(r_pad2 - r_pad, np.int32)])
                 r_pad = r_pad2
             m_starts = jnp.asarray(src_start.astype(np.int32))
-            sub_off = jnp.asarray(sub_off_a.astype(np.int32))
+            sub_off = jnp.asarray(sub_off_a.astype(np.int32).reshape(-1))
             d_off = jnp.asarray(dst_clamped.astype(np.int32))
     if dk == 0 and sg > 1:
         n_m = -(-n_tiles // sg)
@@ -225,7 +226,7 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
                     [glob, np.zeros(r_pad2 - r_pad, np.int32)])
                 r_pad = r_pad2
             m_starts = jnp.asarray(m_start.astype(np.int32))
-            sub_off = jnp.asarray(sub_off_a)
+            sub_off = jnp.asarray(sub_off_a.reshape(-1))
 
     return GatherPlan(
         r=r, r_pad=r_pad, r_tile=r_tile, w_rows=int(w_rows),
@@ -371,7 +372,7 @@ def _make_merged_kernel(C: int, w_rows: int, m_w: int, sg: int,
                 sl = slice(g * rows_sub, (g + 1) * rows_sub)
                 lane_g = lane[sl]
                 crow_g = crow[sl]
-                off = suboff_ref[i, g]
+                off = suboff_ref[i * jnp.int32(sg) + jnp.int32(g)]
                 acc = jnp.zeros((rows_sub, LANE), scratch.dtype)
                 for c in range(w_rows):
                     row = scratch[slot, off + c, ch, :]
@@ -435,7 +436,7 @@ def _make_diag_kernel(C: int, dk: int, m_w: int, sg: int, rows_sub: int):
                 sl = slice(g * rows_sub, (g + 1) * rows_sub)
                 lane_g = lane[sl]
                 drow_g = drow[sl]
-                off = suboff_ref[i, g]
+                off = suboff_ref[i * jnp.int32(sg) + jnp.int32(g)]
                 acc = jnp.zeros((rows_sub, LANE), scratch.dtype)
                 for d in range(dk):
                     row_b = scratch[slot, ch,
@@ -485,7 +486,7 @@ def _make_diag_asm_kernel(C: int, dk: int, m_w: int, rows_sub: int, vl: int):
         for ch in range(C):
             dma(slot, i, ch).wait()
         for ch in range(C):
-            off = suboff_ref[i, 0]
+            off = suboff_ref[i]
             acc = jnp.zeros((rows_sub, LANE), scratch.dtype)
             for d in range(dk):
                 row_b = scratch[slot, ch,
