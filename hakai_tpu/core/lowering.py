@@ -46,6 +46,32 @@ def _round_up(x: int, m: int) -> int:
     return int(-(-x // m) * m)
 
 
+def _dup_lanes(targets: np.ndarray, src_ids: np.ndarray, n_out: int):
+    """Scatter-as-gather lanes: output o sums src[idx[o]] over the returned
+    (idx (n_out,), mask (n_out,)) lanes.  Entries with equal targets are
+    ranked into separate lanes, so each lane is a (partial) permutation —
+    the TPU-native replacement for a scatter-add (deterministic fixed-order
+    sum; SURVEY.md §2 race-handling row)."""
+    targets = np.asarray(targets, np.int64)
+    src_ids = np.asarray(src_ids, np.int64)
+    order = np.argsort(targets, kind="stable")
+    sn = targets[order]
+    if len(sn) == 0:
+        return []
+    st = np.concatenate([[0], np.nonzero(np.diff(sn))[0] + 1])
+    grp = np.repeat(st, np.diff(np.concatenate([st, [len(sn)]])))
+    rank = np.arange(len(sn)) - grp
+    lanes = []
+    for d in range(int(rank.max()) + 1):
+        sel = rank == d
+        idx_arr = np.zeros(n_out, np.int64)
+        msk = np.zeros(n_out, bool)
+        idx_arr[sn[sel]] = src_ids[order[sel]]
+        msk[sn[sel]] = True
+        lanes.append((idx_arr, msk))
+    return lanes
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class ContactPairArrays:
@@ -82,6 +108,16 @@ class ContactPairArrays:
     plan_jnode: object = None         # GatherPlan over jnode_nodes
     tri_enodes: jnp.ndarray = None    # (8, 2F) own-element nodes (self pairs)
     cand_mass: jnp.ndarray = None     # (Ci,) lumped nodal mass
+    # ---- scatter-as-gather plans for the force accumulation (+f to the
+    # node, -f/3 to each triangle vertex): XLA's scatter-add runs serially
+    # on TPU (~0.9 ms per vertex scatter on the 22k car deck) ----
+    plan_fgi: object = None           # node <- force_i (single lane)
+    fgi_mask: jnp.ndarray = None      # (1, N) bool
+    plan_fgt: object = None           # node <- force_t (VLt dup lanes)
+    fgt_mask: jnp.ndarray = None      # (VLt, N) bool
+    fgt_vl: int = dataclasses.field(metadata=dict(static=True), default=0)
+    fgi_src: int = dataclasses.field(metadata=dict(static=True), default=0)
+    fgt_src: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
 @jax.tree_util.register_dataclass
@@ -317,6 +353,26 @@ def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
     plan_inode = plan_blocked_gather(cand, N_src)
     plan_jnode = plan_blocked_gather(jc, N_src)
 
+    # scatter-as-gather plans for the force accumulation (see contact.py)
+    F2 = tri_nodes.shape[1]
+    fgi_src = _round_up(max(len(cand), 128), 128)
+    fgt_src = _round_up(max(F2, 128), 128)
+    lanes_i = _dup_lanes(cand, np.arange(len(cand)), N_src)
+    lanes_t = []
+    for v in range(3):
+        lanes_t += _dup_lanes(tri_nodes[v], np.arange(F2), N_src)
+    # max_w_rows=128: triangle inventories are denser than nodes (slope
+    # F2/N up to ~6), so windows of node-sorted lanes span ~100 source rows
+    plan_fgi = plan_blocked_gather(
+        np.concatenate([l[0] for l in lanes_i]), fgi_src,
+        valid=np.concatenate([l[1] for l in lanes_i]), subgroups=4)
+    plan_fgt = plan_blocked_gather(
+        np.concatenate([l[0] for l in lanes_t]), fgt_src,
+        valid=np.concatenate([l[1] for l in lanes_t]), subgroups=4,
+        max_w_rows=128)
+    fgi_mask = np.stack([l[1] for l in lanes_i])
+    fgt_mask = np.stack([l[1] for l in lanes_t])
+
     return ContactPairArrays(
         i_instance=i_inst, j_instance=j_inst, is_self=(i_inst == j_inst),
         young=float(young), tri_capacity=t_cap, node_capacity=n_cap,
@@ -336,6 +392,9 @@ def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
         tri_enodes=(jnp.asarray(kw_elem_np[:, tri_elem], jnp.int32)
                     if i_inst == j_inst else None),
         cand_mass=jnp.asarray(kw_diag_M_np[cand], dtype),
+        plan_fgi=plan_fgi, fgi_mask=jnp.asarray(fgi_mask),
+        plan_fgt=plan_fgt, fgt_mask=jnp.asarray(fgt_mask),
+        fgt_vl=len(lanes_t), fgi_src=fgi_src, fgt_src=fgt_src,
     )
 
 

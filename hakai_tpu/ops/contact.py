@@ -271,6 +271,20 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
         force_i, force_t = jax.lax.fori_loop(
             0, act_t, tri_chunk,
             (jnp.zeros((3, Cp), dt), jnp.zeros((3, Tp), dt)))
+        if pair.plan_fgi is not None:
+            # scatter-as-gather: each node sums its (masked) contributions in
+            # lanes — XLA's scatter-add is serial on TPU (~0.9 ms per vertex
+            # scatter on the 22k car deck; this path is ~50x cheaper)
+            fi = _pad_last(force_i[:, :Ci], pair.fgi_src)
+            gi = blocked_gather(fi, pair.plan_fgi)       # (3, VLi*N)
+            gi = gi.reshape(3, -1, N)
+            g = jnp.where(pair.fgi_mask[None], gi, 0.0).sum(axis=1)
+            ft = _pad_last(force_t[:, :F2], pair.fgt_src)
+            gt = blocked_gather(ft, pair.plan_fgt)       # (3, VLt*N)
+            gt = gt.reshape(3, pair.fgt_vl, N)
+            g = g - jnp.where(pair.fgt_mask[None], gt, 0.0).sum(axis=1)
+            return g
+
         force_i = force_i[:, :Ci]
         force_t = force_t[:, :F2]
 
