@@ -6,8 +6,9 @@ Timing is slope-based — (T(n2 steps) - T(n1 steps)) / (n2 - n1) — so constan
 dispatch/transfer latency cancels.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline = value / 1e9 (BASELINE.json north-star for a v5e-8; this runs on
-however many chips are visible).
+vs_baseline = value / 1e9 (BASELINE.json north-star for a v5e-8).  With one
+visible device this times the single-chip step; with >1 devices it times the
+element-sharded multi-chip step over a jax.sharding.Mesh.
 """
 import json
 import os
@@ -15,6 +16,7 @@ import time
 
 
 def main():
+    import jax
     import jax.numpy as jnp
 
     from hakai_tpu.config import SolverConfig
@@ -28,15 +30,30 @@ def main():
     nz = int(os.environ.get("BENCH_NZ", 128))
     n1 = int(os.environ.get("BENCH_N1", 50))
     n2 = int(os.environ.get("BENCH_N2", 400))
-    cfg = SolverConfig(dtype="float32", node_pad=128, elem_pad=128)
+    n_dev = len(jax.devices())
+    cfg = SolverConfig(dtype="float32", node_pad=128,
+                       elem_pad=128 * max(1, n_dev))
     model = lower(bar_model(nx=nx, ny=ny, nz=nz, d_time=1e-8, end_time=1.0),
                   cfg)
     state = init_state(model)
 
-    def run_sync(s, k):
-        s = run_chunk(model, s, k)
-        _ = float(jnp.sum(s.disp))   # scalar readback forces completion
-        return s
+    if n_dev > 1:
+        from hakai_tpu.parallel.sharding import (make_mesh, make_sharded_step,
+                                                 shard_arrays)
+        mesh = make_mesh(n_dev)
+        model_s, state = shard_arrays(model, state, mesh)
+        stepper = {k: make_sharded_step(model_s, mesh, n_steps=k)
+                   for k in (n1, n2)}
+
+        def run_sync(s, k):
+            s = stepper[k](s)
+            _ = float(jnp.sum(s.disp))
+            return s
+    else:
+        def run_sync(s, k):
+            s = run_chunk(model, s, k)
+            _ = float(jnp.sum(s.disp))   # scalar readback forces completion
+            return s
 
     # compile both chunk sizes
     state = run_sync(state, n1)

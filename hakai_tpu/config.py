@@ -42,8 +42,9 @@ class SolverConfig:
     #                              blocked-gather kernel when plans fit (TPU)
     renumber: str = "auto"       # "auto" | "off": RCM-renumber scattered
     #                              meshes so gather plans / halo widths fit
-    element_kernel: str = "auto"  # "auto" | "xla": fused Pallas element
-    #                              kernel on TPU (temporaries stay in VMEM)
+    element_kernel: str = "auto"  # "auto"/"xla": fused XLA path (fastest
+    #                              measured); "pallas": opt-in experimental
+    #                              fused Pallas kernel (ops/element_pallas.py)
     metrics_path: str | None = None  # JSONL per-chunk diagnostics stream
     checkpoint_every: int = 0    # save resumable checkpoint every N frames
     checkpoint_path: str | None = None

@@ -36,12 +36,15 @@ def test_bullet_impact_contact():
 
 def test_charpy_cp_pairs():
     lm, st = _run("Charpy-test-v0.0.1.inp", 100)
-    # 3 CPs, two of them cross-instance -> 6... reference builds 2 entries per
-    # cross pair, 1 per self pair
-    assert len(lm.pairs) == sum(1 if p.i_instance == p.j_instance else 1
-                                for p in lm.pairs)
-    assert len(lm.pairs) == 6
+    # 3 cross-instance CPs -> 6 directional entries: the reference builds 2
+    # entries ([i,j] and [j,i]) per cross pair and 1 per self pair
+    # (HAKAI_j.jl:339-354)
+    keys = [(p.i_instance, p.j_instance) for p in lm.pairs]
+    assert len(keys) == 6
     assert not any(p.is_self for p in lm.pairs)
+    for p in lm.pairs:
+        # every cross-instance entry's reverse direction must also be present
+        assert (p.j_instance, p.i_instance) in keys
 
 
 def test_crash_tube_self_contact():
