@@ -264,7 +264,7 @@ def _instance_faces(model: Model, inst_idx: int):
 
 
 def _cand_nodes(model: Model, inst_idx: int, elements: np.ndarray,
-                face_cache: dict):
+                face_cache: dict, reexposure: bool = True):
     """Candidate surface nodes of an instance for one contact side.
 
     ``c_nodes`` of the reference grows monotonically: nodes on initially
@@ -273,13 +273,24 @@ def _cand_nodes(model: Model, inst_idx: int, elements: np.ndarray,
     HAKAI_j.jl:2167-2245).  A node is therefore active at runtime iff it was
     initially active or any owner of an internal face containing it has died.
     Returns (cand (C,), cand_init (C,), cand_twin (C, VT)) with global ids.
+
+    ``reexposure=False`` reproduces the reference's self-pair surface-repair
+    gap: for a pair with i_instance == j_instance only ``c_nodes_i`` is ever
+    appended to (the ``elseif`` at HAKAI_j.jl:779/789 never fires), so the
+    j-side node set is frozen at its initial value.
     """
     faces, face_elem, exterior, twin = face_cache[inst_idx]
     inst = model.instances[inst_idx]
     in_cp = np.isin(face_elem, elements)
     init_rows = exterior & in_cp
+    if len(init_rows):
+        # the reference's surface dedup loop runs j = 1:nE*6-1
+        # (HAKAI_j.jl:2045), so the instance's very last face is never a
+        # surface candidate even when exterior
+        init_rows = init_rows.copy()
+        init_rows[-1] = False
     gn = faces - 1 + inst.node_offset
-    internal = twin > 0
+    internal = (twin > 0) if reexposure else np.zeros(len(twin), bool)
     cand = np.unique(gn[init_rows | internal])
     cand_init = np.isin(cand, np.unique(gn[init_rows])) if init_rows.any() \
         else np.zeros(len(cand), bool)
@@ -317,9 +328,19 @@ def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
     faces, face_elem, exterior, twin = face_cache[j_inst]
     in_cp = np.isin(face_elem, elements_j)
     init = exterior & in_cp
+    if len(init):
+        # last face is never a surface candidate (get_surface_triangle's
+        # dedup loop stops at nE*6-1, HAKAI_j.jl:2045)
+        init = init.copy()
+        init[-1] = False
     g_nodes = faces - 1 + inst_j.node_offset                   # (F,4) global
     g_elem = face_elem - 1 + inst_j.element_offset
     g_twin = np.where(twin > 0, twin - 1 + inst_j.element_offset, -1)
+    if i_inst == j_inst:
+        # self pairs never receive re-exposed triangles: the reference's
+        # surface repair updates only c_nodes_i for them (the j-side elseif
+        # at HAKAI_j.jl:789 is unreachable when both ids match)
+        g_twin = np.full_like(g_twin, -1)
     # two triangles per face: (1,2,3) and (3,4,1)  (HAKAI_j.jl:2140-2145)
     t1 = g_nodes[:, [0, 1, 2]]
     t2 = g_nodes[:, [2, 3, 0]]
@@ -330,7 +351,8 @@ def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
 
     cand, cand_init, cand_twin = _cand_nodes(model, i_inst, elements_i,
                                              face_cache)
-    jc, jc_init, jc_twin = _cand_nodes(model, j_inst, elements_j, face_cache)
+    jc, jc_init, jc_twin = _cand_nodes(model, j_inst, elements_j, face_cache,
+                                       reexposure=(i_inst != j_inst))
 
     # capacities
     n_tri_init = int(tri_init.sum())

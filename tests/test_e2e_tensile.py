@@ -1,10 +1,12 @@
 """End-to-end regression on the reference's minimal smoke deck
 (Tensile5e.inp: 5 hex8 elements, J2 + ductile damage, 20k steps).
 
-Golden values are self-generated on the CPU/f64 backend and pinned; they
-guard against silent numerical drift.  Physical checks (BC displacement,
-symmetric necking, middle-element fracture) tie the run to the reference's
-documented behavior.
+The pinned values are fast drift guards; *correctness* of the same
+trajectory is established independently by the cross-implementation oracle
+diff (tests/test_oracle_diff.py: rel <= 1e-9 against a straight-line NumPy
+transliteration of the reference math over the first 2000 steps).  Physical
+checks (BC displacement, symmetric necking, middle-element fracture) tie
+the run to the reference's documented behavior.
 """
 import numpy as np
 import pytest
