@@ -136,17 +136,23 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
     """Step variant for the chunk loop: carries the gathered element-node
     displacements (only the new displacement is gathered, 3 channels instead
     of 6) and the stress/strain state as 6-component tuples (avoids
-    re-materializing (6,8,E) stacks every step)."""
+    re-materializing (6,8,E) stacks every step).
+
+    In mixed mode the carry stays f64: both kinematic differences (the du
+    increment and the node-0 centering) cancel in f64 *before* the cast to
+    the f32 element dtype, so no cancellation noise enters the strain
+    increments — same contract as the generic ``step``."""
     from ..ops.element import element_core_c, gather_disp_e, triax_components
     from ..ops.erosion import erosion_delete_mask
 
+    edt = model.edtype
     t, disp_new, velo, cforce = _integrate(model, state)
     disp_e = gather_disp_e(model, disp_new)
     # model.coord_e is centered on each element's node 0; centering the
     # displacement copies the same way keeps pos_e well-conditioned in f32
     # for meshes far from the origin (J is translation-invariant)
-    pos_e = model.coord_e + (disp_e - disp_e[:, 0:1, :])
-    du_e = disp_e - disp_e_prev
+    pos_e = model.coord_e + (disp_e - disp_e[:, 0:1, :]).astype(edt)
+    du_e = (disp_e - disp_e_prev).astype(edt)
     qe, s_c, e_c, eq, y = element_core_c(
         model, pos_e, du_e, stress_c, strain_c, state.eq_ps, state.yield_s,
         state.element_flag)
@@ -167,9 +173,9 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
 
 @partial(jax.jit, static_argnums=(2,))
 def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
-    # the disp_e-carry fast path requires uniform dtype (mixed mode must take
-    # kinematic differences in f64 before casting, so it uses the generic step)
-    if model.coord_e is not None and model.dtype == model.edtype:
+    # disp_e-carry fast path; in mixed mode the carry is f64 (differences
+    # cancel before the f32 cast inside step_fast)
+    if model.coord_e is not None:
         from ..ops.element import gather_disp_e
 
         disp_e0 = gather_disp_e(model, state.disp)
