@@ -176,15 +176,41 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
         node_in = ((pos_i >= range_min[:, None])
                    & (pos_i <= range_max[:, None])).all(axis=0) & ni_active
 
-        # --- block-activity lists: loops visit only blocks with work ---
+        # --- hierarchical broad phase over (triangle-block, node-block)
+        # pairs.  The reference's 3-D uniform grid (HAKAI_j.jl:2324-2363)
+        # gives O(cell) candidates per triangle; the static-shape analogue is
+        # a block-level cull: per-block AABBs (q0-based on the triangle side,
+        # because the narrow phase's +-1 cell test keys on vertex 0) overlap-
+        # tested with a conservative 2*ddiv pad (|cell diff| <= 1 implies
+        # |q0 - p| < 2*ddiv per axis), then only surviving pairs run the
+        # dense (TB, nb) narrow phase.  With bandwidth-ordered numbering
+        # (core/renumber.py) blocks are spatially local, so surviving pairs
+        # track the true contact region instead of the full cross product. ---
         tri_blk_any = _pad_last(tri_in, Tp, False).reshape(tri_chunks, TB
                                                            ).any(axis=1)
         n_blk_any = _pad_last(node_in, Cp, False).reshape(n_chunks, nb
                                                           ).any(axis=1)
-        tri_blk_ids = _compact(tri_blk_any, tri_chunks)
-        n_blk_ids = _compact(n_blk_any, n_chunks)
-        act_t = tri_blk_any.sum()
-        act_n = n_blk_any.sum()
+        big = jnp.asarray(jnp.inf, dt)
+        q0_p = _pad_last(q0, Tp)
+        tin_f = _pad_last(tri_in, Tp, False)
+        bmin_t = jnp.where(tin_f, q0_p, big).reshape(3, tri_chunks, TB
+                                                     ).min(axis=2)
+        bmax_t = jnp.where(tin_f, q0_p, -big).reshape(3, tri_chunks, TB
+                                                      ).max(axis=2)
+        pos_pp = _pad_last(pos_i, Cp)
+        nin_f = _pad_last(node_in, Cp, False)
+        bmin_n = jnp.where(nin_f, pos_pp, big).reshape(3, n_chunks, nb
+                                                       ).min(axis=2)
+        bmax_n = jnp.where(nin_f, pos_pp, -big).reshape(3, n_chunks, nb
+                                                        ).max(axis=2)
+        pad = 2.0 * ddiv
+        pair_ok = ((bmin_t[:, :, None] - pad <= bmax_n[:, None, :])
+                   & (bmin_n[:, None, :] - pad <= bmax_t[:, :, None])
+                   ).all(axis=0)                      # (tri_chunks, n_chunks)
+        pair_ok &= tri_blk_any[:, None] & n_blk_any[None, :]
+        n_pairs = tri_chunks * n_chunks
+        pair_ids = _compact(pair_ok.reshape(-1), n_pairs)
+        act_p = pair_ok.sum()
 
         # padded per-tri / per-node data for dynamic slicing
         tri_vec = [_pad_last(x, Tp) for x in
@@ -201,10 +227,12 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
         ids_p = _pad_last(pair.cand_nodes, Cp)
         mi_p = _pad_last(pair.cand_mass, Cp)
 
-        def tri_chunk(tc, carry):
+        def blk_pair(pi, carry):
             force_i, force_t = carry
             z = jnp.zeros((), jnp.int32)
-            t0 = tri_blk_ids[tc] * TB
+            pid = pair_ids[pi]
+            t0 = (pid // n_chunks) * TB
+            c0 = (pid % n_chunks) * nb
             q0c, ctrc, nrmc, im0c, im1c, im2c, vj0c = (
                 jax.lax.dynamic_slice(x, (z, t0), (3, TB)) for x in tri_vec)
             Rmaxc, kpenc = (jax.lax.dynamic_slice(x, (t0,), (TB,))
@@ -214,62 +242,53 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
             enc = (jax.lax.dynamic_slice(en_p, (z, t0), (8, TB))
                    if pair.is_self else None)
 
-            def node_chunk(ncj, carry2):
-                force_i, ft_blk = carry2
-                z2 = jnp.zeros((), jnp.int32)
-                c0 = n_blk_ids[ncj] * nb
-                p = jax.lax.dynamic_slice(pos_p, (z2, c0), (3, nb))
-                vi = jax.lax.dynamic_slice(vel_p, (z2, c0), (3, nb))
-                ci = jax.lax.dynamic_slice(cell_p, (z2, c0), (3, nb))
-                nin = jax.lax.dynamic_slice(nin_p, (c0,), (nb,))
-                ids = jax.lax.dynamic_slice(ids_p, (c0,), (nb,))
-                mi = jax.lax.dynamic_slice(mi_p, (c0,), (nb,))
+            p = jax.lax.dynamic_slice(pos_p, (z, c0), (3, nb))
+            vi = jax.lax.dynamic_slice(vel_p, (z, c0), (3, nb))
+            ci = jax.lax.dynamic_slice(cell_p, (z, c0), (3, nb))
+            nin = jax.lax.dynamic_slice(nin_p, (c0,), (nb,))
+            ids = jax.lax.dynamic_slice(ids_p, (c0,), (nb,))
+            mi = jax.lax.dynamic_slice(mi_p, (c0,), (nb,))
 
-                # pair masks (TB, nb); +-1 uniform-grid cell test (:2487-2492)
-                cell_ok = (jnp.abs(cellj0c[:, :, None] - ci[:, None, :]) <= 1
-                           ).all(axis=0)
-                m = tinc[:, None] & nin[None, :] & cell_ok
-                if pair.is_self:
-                    own = (enc[:, :, None] == ids[None, None, :]).any(axis=0)
-                    m &= ~own
-                dpc = jnp.sqrt(((p[:, None, :] - ctrc[:, :, None]) ** 2
-                                ).sum(0))
-                m &= dpc < Rmaxc[:, None]
+            # pair masks (TB, nb); +-1 uniform-grid cell test (:2487-2492)
+            cell_ok = (jnp.abs(cellj0c[:, :, None] - ci[:, None, :]) <= 1
+                       ).all(axis=0)
+            m = tinc[:, None] & nin[None, :] & cell_ok
+            if pair.is_self:
+                own = (enc[:, :, None] == ids[None, None, :]).any(axis=0)
+                m &= ~own
+            dpc = jnp.sqrt(((p[:, None, :] - ctrc[:, :, None]) ** 2).sum(0))
+            m &= dpc < Rmaxc[:, None]
 
-                b = p[:, None, :] - q0c[:, :, None]           # (3, TB, nb)
-                x1 = (im0c[:, :, None] * b).sum(0)
-                x2 = (im1c[:, :, None] * b).sum(0)
-                d = (im2c[:, :, None] * b).sum(0)
-                m &= (x1 >= 0.0) & (x2 >= 0.0) & (x1 + x2 <= 1.0) \
-                    & (d > 0.0) & (d <= d_lim)
+            b = p[:, None, :] - q0c[:, :, None]               # (3, TB, nb)
+            x1 = (im0c[:, :, None] * b).sum(0)
+            x2 = (im1c[:, :, None] * b).sum(0)
+            d = (im2c[:, :, None] * b).sum(0)
+            m &= (x1 >= 0.0) & (x2 >= 0.0) & (x1 + x2 <= 1.0) \
+                & (d > 0.0) & (d <= d_lim)
 
-                F = jnp.where(m, kpenc[:, None] * d, 0.0)     # (TB, nb)
-                vrel = vi[:, None, :] - vj0c[:, :, None]      # (3, TB, nb)
-                mag_v = jnp.sqrt((vrel ** 2).sum(0))
-                ve = vrel / jnp.where(mag_v == 0, 1.0, mag_v)
-                ve = jnp.where(mag_v > 0, ve, 0.0)
-                dot_vn = (ve * nrmc[:, :, None]).sum(0)
-                vs = ve - dot_vn * nrmc[:, :, None]
-                Cd = 2.0 * jnp.sqrt(mi[None, :] * kpenc[:, None]) * Cr
-                f = (F * nrmc[:, :, None]
-                     - myu * F * vs
-                     - jnp.where(m, Cd, 0.0) * vrel)          # (3, TB, nb)
-                f = jnp.where(m[None], f, 0.0)
+            F = jnp.where(m, kpenc[:, None] * d, 0.0)         # (TB, nb)
+            vrel = vi[:, None, :] - vj0c[:, :, None]          # (3, TB, nb)
+            mag_v = jnp.sqrt((vrel ** 2).sum(0))
+            ve = vrel / jnp.where(mag_v == 0, 1.0, mag_v)
+            ve = jnp.where(mag_v > 0, ve, 0.0)
+            dot_vn = (ve * nrmc[:, :, None]).sum(0)
+            vs = ve - dot_vn * nrmc[:, :, None]
+            Cd = 2.0 * jnp.sqrt(mi[None, :] * kpenc[:, None]) * Cr
+            f = (F * nrmc[:, :, None]
+                 - myu * F * vs
+                 - jnp.where(m, Cd, 0.0) * vrel)              # (3, TB, nb)
+            f = jnp.where(m[None], f, 0.0)
 
-                fi = jax.lax.dynamic_slice(force_i, (z2, c0), (3, nb))
-                force_i = jax.lax.dynamic_update_slice(
-                    force_i, fi + f.sum(axis=1), (z2, c0))
-                return force_i, ft_blk + f.sum(axis=2) / 3.0
-
-            force_i, ft_blk = jax.lax.fori_loop(
-                0, act_n, node_chunk, (force_i, jnp.zeros((3, TB), dt)))
+            fi = jax.lax.dynamic_slice(force_i, (z, c0), (3, nb))
+            force_i = jax.lax.dynamic_update_slice(
+                force_i, fi + f.sum(axis=1), (z, c0))
             ft = jax.lax.dynamic_slice(force_t, (z, t0), (3, TB))
-            force_t = jax.lax.dynamic_update_slice(force_t, ft + ft_blk,
-                                                   (z, t0))
+            force_t = jax.lax.dynamic_update_slice(
+                force_t, ft + f.sum(axis=2) / 3.0, (z, t0))
             return force_i, force_t
 
         force_i, force_t = jax.lax.fori_loop(
-            0, act_t, tri_chunk,
+            0, act_p, blk_pair,
             (jnp.zeros((3, Cp), dt), jnp.zeros((3, Tp), dt)))
         if pair.plan_fgi is not None:
             # scatter-as-gather: each node sums its (masked) contributions in
