@@ -24,6 +24,12 @@ class ContactConfig:
     tri_capacity: int | None = None
     node_capacity: int | None = None
     node_block: int = 2048     # narrow-phase node-tile size (memory bound)
+    tri_block: int = 512       # narrow-phase triangle-tile size
+    # self-contact tiles are smaller: every node is near the surface it
+    # belongs to, so only fine node/tri tiles give the block-pair AABB cull
+    # any selectivity (the buckling tube folds onto itself locally)
+    node_block_self: int = 256
+    tri_block_self: int = 256
 
 
 @dataclass(frozen=True)
@@ -45,6 +51,9 @@ class SolverConfig:
     element_kernel: str = "auto"  # "auto"/"xla": fused XLA path (fastest
     #                              measured); "pallas": opt-in experimental
     #                              fused Pallas kernel (ops/element_pallas.py)
+    elem_slab: int = -1          # element-math slab size for the HBM-spill
+    #                              regime: -1 auto (131072 when E >= 262144),
+    #                              0 off, >0 explicit (multiple of 128)
     metrics_path: str | None = None  # JSONL per-chunk diagnostics stream
     checkpoint_every: int = 0    # save resumable checkpoint every N frames
     checkpoint_path: str | None = None

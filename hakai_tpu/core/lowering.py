@@ -113,9 +113,23 @@ class ContactPairArrays:
     # on TPU (~0.9 ms per vertex scatter on the 22k car deck) ----
     plan_fgi: object = None           # node <- force_i (single lane)
     fgi_mask: jnp.ndarray = None      # (1, N) bool
-    plan_fgt: object = None           # node <- force_t (VLt dup lanes)
-    fgt_mask: jnp.ndarray = None      # (VLt, N) bool
+    # force_t accumulates in a *compact* target space (the pair's touched
+    # surface nodes, Nt << N) so the (VLt, target) mask-sum doesn't scale
+    # with the whole mesh; plan_fx expands the compact sums back to (3, N)
+    plan_fgt: object = None           # tn-slot <- force_t (VLt dup lanes),
+    #                                   or sorted-contribution order (tree)
+    fgt_mask: jnp.ndarray = None      # (VLt, Nt) bool (lane mode)
+    plan_fx: object = None            # node <- compact tn sums (1 lane)
+    fx_mask: jnp.ndarray = None       # (N,) bool: node touched by a triangle
+    # tree mode (big surfaces whose lane plan overflows tile windows):
+    fgt_segmask: jnp.ndarray = None   # (S, 3F) bool shift-add masks
+    plan_pick: object = None          # tn-slot <- segment-start sums
+    fgt_tnvalid: jnp.ndarray = None   # (Nt,) bool
+    fgt_strides: tuple = dataclasses.field(metadata=dict(static=True),
+                                           default=())
+    fgt_k: int = dataclasses.field(metadata=dict(static=True), default=0)
     fgt_vl: int = dataclasses.field(metadata=dict(static=True), default=0)
+    fgt_n: int = dataclasses.field(metadata=dict(static=True), default=0)
     fgi_src: int = dataclasses.field(metadata=dict(static=True), default=0)
     fgt_src: int = dataclasses.field(metadata=dict(static=True), default=0)
 
@@ -380,20 +394,73 @@ def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
     fgi_src = _round_up(max(len(cand), 128), 128)
     fgt_src = _round_up(max(F2, 128), 128)
     lanes_i = _dup_lanes(cand, np.arange(len(cand)), N_src)
-    lanes_t = []
-    for v in range(3):
-        lanes_t += _dup_lanes(tri_nodes[v], np.arange(F2), N_src)
-    # max_w_rows=128: triangle inventories are denser than nodes (slope
-    # F2/N up to ~6), so windows of node-sorted lanes span ~100 source rows
     plan_fgi = plan_blocked_gather(
         np.concatenate([l[0] for l in lanes_i]), fgi_src,
         valid=np.concatenate([l[1] for l in lanes_i]), subgroups=4)
+    fgi_mask = np.stack([l[1] for l in lanes_i])
+
+    # triangle reactions accumulate over the pair's touched nodes only
+    # (compact slot space tn): the dense (VL, target) lane sum then costs
+    # VL*Nt instead of VL*N — on the 22k car deck the wall pair drops from
+    # (36, 23k) to (36, 512).  A single _dup_lanes call over all three
+    # vertices packs lanes by *total* node incidence (lower VL than three
+    # per-vertex maxima).  plan_fx expands the compact sums back to (3, N).
+    tn = np.unique(np.asarray(tri_nodes))                     # (Nt,) sorted
+    fgt_n = _round_up(max(len(tn), 128), 128)
+    t_targets = np.searchsorted(tn, np.asarray(tri_nodes).reshape(-1))
+    src_all = np.tile(np.arange(F2), 3)
+    lanes_t = _dup_lanes(t_targets, src_all, fgt_n)
+    # max_w_rows=128: triangle inventories are denser than nodes (slope
+    # F2/N up to ~6), so windows of node-sorted lanes span ~100 source rows
     plan_fgt = plan_blocked_gather(
         np.concatenate([l[0] for l in lanes_t]), fgt_src,
         valid=np.concatenate([l[1] for l in lanes_t]), subgroups=4,
         max_w_rows=128)
-    fgi_mask = np.stack([l[1] for l in lanes_i])
     fgt_mask = np.stack([l[1] for l in lanes_t])
+    fgt_vl = len(lanes_t)
+    fgt_segmask = fgt_strides = plan_pick = fgt_tnvalid = None
+    fgt_k = 0
+    if not plan_fgt.ok:
+        # Large shell-like surfaces (e.g. the 127k-triangle car inventory)
+        # defeat the lane plan: gaps in the touched-node space blow the tile
+        # windows.  Fall back to a sorted-contribution segmented tree-sum:
+        # gather force_t into node-sorted contribution order (slope ~1/3 —
+        # diagonal-mode friendly), then log2(max degree) masked shift-adds
+        # (a Hillis-Steele segmented suffix sum over the sorted keys; keys
+        # are sorted, so key[i]==key[i+s] implies the whole range is one
+        # segment), leaving each node's total at its segment start, which a
+        # 1-lane pick gather extracts before the plan_fx expansion.
+        order = np.argsort(t_targets, kind="stable")
+        key = t_targets[order]
+        K = 3 * F2
+        plan_fgt = plan_blocked_gather(src_all[order], fgt_src, subgroups=4)
+        seg_starts = np.searchsorted(key, np.arange(len(tn)))
+        maxdeg = int(np.diff(np.concatenate([seg_starts, [K]])).max())
+        strides = []
+        s = 1
+        while s < maxdeg:
+            strides.append(s)
+            s *= 2
+        segmask = np.zeros((max(len(strides), 1), K), bool)
+        for si, st in enumerate(strides):
+            segmask[si, :K - st] = key[:K - st] == key[st:]
+        Kp = _round_up(K, 128)
+        pick = np.zeros(fgt_n, np.int64)
+        pick[:len(tn)] = seg_starts
+        tnvalid = np.zeros(fgt_n, bool)
+        tnvalid[:len(tn)] = True
+        plan_pick = plan_blocked_gather(pick, Kp, valid=tnvalid,
+                                        max_w_rows=512)
+        fgt_mask = None
+        fgt_segmask = jnp.asarray(segmask)
+        fgt_strides = tuple(strides)
+        fgt_tnvalid = jnp.asarray(tnvalid)
+        fgt_k = Kp
+    fx_idx = np.zeros(N_src, np.int64)
+    fx_mask = np.zeros(N_src, bool)
+    fx_idx[tn] = np.arange(len(tn))
+    fx_mask[tn] = True
+    plan_fx = plan_blocked_gather(fx_idx, fgt_n, valid=fx_mask, subgroups=4)
 
     return ContactPairArrays(
         i_instance=i_inst, j_instance=j_inst, is_self=(i_inst == j_inst),
@@ -415,8 +482,12 @@ def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
                     if i_inst == j_inst else None),
         cand_mass=jnp.asarray(kw_diag_M_np[cand], dtype),
         plan_fgi=plan_fgi, fgi_mask=jnp.asarray(fgi_mask),
-        plan_fgt=plan_fgt, fgt_mask=jnp.asarray(fgt_mask),
-        fgt_vl=len(lanes_t), fgi_src=fgi_src, fgt_src=fgt_src,
+        plan_fgt=plan_fgt,
+        fgt_mask=(jnp.asarray(fgt_mask) if fgt_mask is not None else None),
+        plan_fx=plan_fx, fx_mask=jnp.asarray(fx_mask),
+        fgt_segmask=fgt_segmask, fgt_strides=fgt_strides or (),
+        plan_pick=plan_pick, fgt_tnvalid=fgt_tnvalid, fgt_k=fgt_k,
+        fgt_vl=fgt_vl, fgt_n=fgt_n, fgi_src=fgi_src, fgt_src=fgt_src,
     )
 
 

@@ -121,56 +121,27 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
         & ni_active.any()
     all_min = jnp.minimum(min_i, min_j)              # (3,)
 
-    TB = min(512, F2)
-    nb = max(min(cfgc.node_block, Ci, (1 << 21) // TB), 8)
+    TB = min(cfgc.tri_block_self if pair.is_self else cfgc.tri_block, F2)
+    nbc = cfgc.node_block_self if pair.is_self else cfgc.node_block
+    nb = max(min(nbc, Ci, (1 << 21) // TB), 8)
     tri_chunks = -(-F2 // TB)
     n_chunks = -(-Ci // nb)
     Tp, Cp = tri_chunks * TB, n_chunks * nb
 
     def compute(_):
-        # --- per-triangle geometry over the full inventory, O(F) ---
+        # --- O(F) prologue: only the range cull and block AABBs touch the
+        # full inventory; all heavier per-triangle geometry (normals,
+        # adjugate rows, circumradius, penalty stiffness) happens *inside*
+        # the narrow-phase loop on (3, TB) slices — per trip that's ~50k
+        # flops next to the (TB, nb) narrow phase's millions, and it keeps
+        # the prologue from scaling with inventories like the 127k-triangle
+        # car surface when only a handful of blocks have work. ---
         # range cull (:2403-2421)
         t_out_lo = ((q0 < range_min[:, None]) & (q1 < range_min[:, None])
                     & (q2 < range_min[:, None])).any(axis=0)
         t_out_hi = ((q0 > range_max[:, None]) & (q1 > range_max[:, None])
                     & (q2 > range_max[:, None])).any(axis=0)
         tri_in = tri_active & ~(t_out_lo | t_out_hi)                 # (2F,)
-
-        ctr = (q0 + q1 + q2) / 3.0
-        Rmax = jnp.sqrt(jnp.maximum(jnp.maximum(
-            ((q0 - ctr) ** 2).sum(0), ((q1 - ctr) ** 2).sum(0)),
-            ((q2 - ctr) ** 2).sum(0)))
-        v1 = q1 - q0
-        v2 = q2 - q0
-        L1 = jnp.sqrt((v1 ** 2).sum(0))
-        L2 = jnp.sqrt((v2 ** 2).sum(0))
-        Lmax = jnp.maximum(L1, L2)
-        safe_L = jnp.where(Lmax == 0, 1.0, Lmax)
-        cr = jnp.stack([v1[1] * v2[2] - v1[2] * v2[1],
-                        v1[2] * v2[0] - v1[0] * v2[2],
-                        v1[0] * v2[1] - v1[1] * v2[0]])
-        mag_n = jnp.sqrt((cr ** 2).sum(0))
-        nrm = cr / jnp.where(mag_n == 0, 1.0, mag_n)          # (3, 2F)
-        d12 = (v1 * v2).sum(0)
-        S = 0.5 * jnp.sqrt(jnp.maximum(L1**2 * L2**2 - d12**2, 0.0))
-        k_pen = pair.young * S / safe_L * kc                  # (2F,)
-        cell_j0 = jnp.ceil((q0 - all_min[:, None]) / ddiv).astype(jnp.int32)
-
-        # det(A) and adjugate rows of A = [v1 v2 -n] (my3SolveAb, :3342-3372)
-        A = (v1, v2, -nrm)
-        detA = (A[0][0] * A[1][1] * A[2][2] + A[1][0] * A[2][1] * A[0][2]
-                + A[2][0] * A[0][1] * A[1][2] - A[0][0] * A[2][1] * A[1][2]
-                - A[1][0] * A[0][1] * A[2][2] - A[2][0] * A[1][1] * A[0][2])
-        safe_det = jnp.where(detA == 0, 1.0, detA)
-
-        def inv_row(r):
-            c1, c2 = (r + 1) % 3, (r + 2) % 3
-            return jnp.stack([
-                A[c1][1] * A[c2][2] - A[c2][1] * A[c1][2],
-                A[c2][0] * A[c1][2] - A[c1][0] * A[c2][2],
-                A[c1][0] * A[c2][1] - A[c2][0] * A[c1][1],
-            ]) / safe_det                                     # (3, 2F)
-        im0, im1, im2 = inv_row(0), inv_row(1), inv_row(2)
 
         cell_i = jnp.ceil((pos_i - all_min[:, None]) / ddiv).astype(jnp.int32)
         node_in = ((pos_i >= range_min[:, None])
@@ -213,10 +184,9 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
         act_p = pair_ok.sum()
 
         # padded per-tri / per-node data for dynamic slicing
-        tri_vec = [_pad_last(x, Tp) for x in
-                   (q0, ctr, nrm, im0, im1, im2, vel_j0)]     # (3, Tp)
-        tri_sca = [_pad_last(x, Tp) for x in (Rmax, k_pen)]
-        cellj0_p = _pad_last(cell_j0, Tp, -9)
+        tri_vec = [_pad_last(x, Tp) for x in (q0, q1, q2, vel_j0)]  # (3, Tp)
+        young_p = _pad_last(
+            jnp.broadcast_to(jnp.asarray(pair.young, dt), (F2,)), Tp)
         tin_p = _pad_last(tri_in, Tp, False)
         en_p = (_pad_last(pair.tri_enodes, Tp) if pair.is_self else None)
 
@@ -233,14 +203,52 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
             pid = pair_ids[pi]
             t0 = (pid // n_chunks) * TB
             c0 = (pid % n_chunks) * nb
-            q0c, ctrc, nrmc, im0c, im1c, im2c, vj0c = (
+            q0c, q1c, q2c, vj0c = (
                 jax.lax.dynamic_slice(x, (z, t0), (3, TB)) for x in tri_vec)
-            Rmaxc, kpenc = (jax.lax.dynamic_slice(x, (t0,), (TB,))
-                            for x in tri_sca)
+            youngc = jax.lax.dynamic_slice(young_p, (t0,), (TB,))
             tinc = jax.lax.dynamic_slice(tin_p, (t0,), (TB,))
-            cellj0c = jax.lax.dynamic_slice(cellj0_p, (z, t0), (3, TB))
             enc = (jax.lax.dynamic_slice(en_p, (z, t0), (8, TB))
                    if pair.is_self else None)
+
+            # --- per-triangle geometry for this block only ---
+            ctrc = (q0c + q1c + q2c) / 3.0
+            Rmaxc = jnp.sqrt(jnp.maximum(jnp.maximum(
+                ((q0c - ctrc) ** 2).sum(0), ((q1c - ctrc) ** 2).sum(0)),
+                ((q2c - ctrc) ** 2).sum(0)))
+            v1 = q1c - q0c
+            v2 = q2c - q0c
+            L1 = jnp.sqrt((v1 ** 2).sum(0))
+            L2 = jnp.sqrt((v2 ** 2).sum(0))
+            safe_L = jnp.where(jnp.maximum(L1, L2) == 0, 1.0,
+                               jnp.maximum(L1, L2))
+            cr = jnp.stack([v1[1] * v2[2] - v1[2] * v2[1],
+                            v1[2] * v2[0] - v1[0] * v2[2],
+                            v1[0] * v2[1] - v1[1] * v2[0]])
+            mag_n = jnp.sqrt((cr ** 2).sum(0))
+            nrmc = cr / jnp.where(mag_n == 0, 1.0, mag_n)     # (3, TB)
+            d12 = (v1 * v2).sum(0)
+            S = 0.5 * jnp.sqrt(jnp.maximum(L1**2 * L2**2 - d12**2, 0.0))
+            kpenc = youngc * S / safe_L * kc                  # (TB,)
+            cellj0c = jnp.ceil((q0c - all_min[:, None]) / ddiv
+                               ).astype(jnp.int32)
+
+            # det(A), adjugate rows of A=[v1 v2 -n] (my3SolveAb, :3342-3372)
+            A = (v1, v2, -nrmc)
+            detA = (A[0][0] * A[1][1] * A[2][2] + A[1][0] * A[2][1] * A[0][2]
+                    + A[2][0] * A[0][1] * A[1][2]
+                    - A[0][0] * A[2][1] * A[1][2]
+                    - A[1][0] * A[0][1] * A[2][2]
+                    - A[2][0] * A[1][1] * A[0][2])
+            safe_det = jnp.where(detA == 0, 1.0, detA)
+
+            def inv_row(r):
+                c1, c2 = (r + 1) % 3, (r + 2) % 3
+                return jnp.stack([
+                    A[c1][1] * A[c2][2] - A[c2][1] * A[c1][2],
+                    A[c2][0] * A[c1][2] - A[c1][0] * A[c2][2],
+                    A[c1][0] * A[c2][1] - A[c2][0] * A[c1][1],
+                ]) / safe_det                                 # (3, TB)
+            im0c, im1c, im2c = inv_row(0), inv_row(1), inv_row(2)
 
             p = jax.lax.dynamic_slice(pos_p, (z, c0), (3, nb))
             vi = jax.lax.dynamic_slice(vel_p, (z, c0), (3, nb))
@@ -298,10 +306,26 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
             gi = blocked_gather(fi, pair.plan_fgi)       # (3, VLi*N)
             gi = gi.reshape(3, -1, N)
             g = jnp.where(pair.fgi_mask[None], gi, 0.0).sum(axis=1)
+            # triangle reactions: accumulate in the compact touched-node
+            # space (Nt << N), then one 1-lane expansion gather to (3, N)
             ft = _pad_last(force_t[:, :F2], pair.fgt_src)
-            gt = blocked_gather(ft, pair.plan_fgt)       # (3, VLt*N)
-            gt = gt.reshape(3, pair.fgt_vl, N)
-            g = g - jnp.where(pair.fgt_mask[None], gt, 0.0).sum(axis=1)
+            if pair.fgt_segmask is not None:
+                # sorted-contribution segmented tree-sum (big surfaces):
+                # gather into node-sorted order, Hillis-Steele suffix sum
+                # within key segments, pick each segment's start slot
+                c = blocked_gather(ft, pair.plan_fgt)    # (3, 3F) sorted
+                for si, s in enumerate(pair.fgt_strides):
+                    sh = jnp.pad(c[:, s:], ((0, 0), (0, s)))
+                    c = c + jnp.where(pair.fgt_segmask[si][None], sh, 0.0)
+                c = _pad_last(c, pair.fgt_k)
+                f_tn = blocked_gather(c, pair.plan_pick)  # (3, Nt)
+                f_tn = jnp.where(pair.fgt_tnvalid[None], f_tn, 0.0)
+            else:
+                gt = blocked_gather(ft, pair.plan_fgt)   # (3, VLt*Nt)
+                gt = gt.reshape(3, pair.fgt_vl, pair.fgt_n)
+                f_tn = jnp.where(pair.fgt_mask[None], gt, 0.0).sum(axis=1)
+            fx = blocked_gather(f_tn, pair.plan_fx)[:, :N]
+            g = g - jnp.where(pair.fx_mask[None], fx, 0.0)
             return g
 
         force_i = force_i[:, :Ci]

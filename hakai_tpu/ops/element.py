@@ -136,8 +136,8 @@ def element_core(model: LoweredModel,
         from .element_pallas import element_core_pallas
         return element_core_pallas(model, pos_e, du, stress, strain, eq_ps,
                                    yield_s, element_flag)
-    qe, s_c, e_c, eq, y = _element_math(
-        model.pl_tables, model.mat_id, model.G_e, model.lam_e,
+    qe, s_c, e_c, eq, y = _math_maybe_slabbed(
+        model, model.pl_tables, model.mat_id, model.G_e, model.lam_e,
         model.has_plastic_e, jnp.asarray(_PUS, pos_e.dtype), pos_e, du,
         [stress[c] for c in range(6)], [strain[c] for c in range(6)],
         eq_ps, yield_s, element_flag)
@@ -150,10 +150,70 @@ def element_core_c(model: LoweredModel, pos_e, du, stress_c, strain_c,
                    eq_ps, yield_s, element_flag):
     """Component-list variant (6 x (8,E) stress/strain in and out) — used by
     the fast chunk loop to avoid materializing (6,8,E) stacks every step."""
-    return _element_math(
-        model.pl_tables, model.mat_id, model.G_e, model.lam_e,
+    return _math_maybe_slabbed(
+        model, model.pl_tables, model.mat_id, model.G_e, model.lam_e,
         model.has_plastic_e, jnp.asarray(_PUS, pos_e.dtype), pos_e, du,
         stress_c, strain_c, eq_ps, yield_s, element_flag)
+
+
+def _resolve_slab(model: LoweredModel, E: int) -> int:
+    """Element-slab size for the HBM-spill regime.  The element math holds
+    ~100 live (8, slab) temporaries; at 131k elements they are VMEM-resident
+    and fusions run at ~2 TB/s, while at 1M they spill to HBM and drop to
+    ~400 GB/s (docs/PERF.md, 1M-element regime).  Slabbing the purely
+    element-local math over a fori_loop keeps every slab's working set
+    VMEM-resident; HBM then only carries each input/output once."""
+    slab = model.config.elem_slab
+    if slab == -1:                      # auto
+        slab = 131072 if E >= 2 * 131072 else 0
+    if slab <= 0 or E <= slab:
+        return 0
+    return slab
+
+
+def _math_maybe_slabbed(model, pl_tables, mat_id, G_e, lam_e, has_plastic_e,
+                        pus, pos_e, du, stress, strain, eq_ps, yield_s,
+                        element_flag):
+    E = pos_e.shape[-1]
+    slab = _resolve_slab(model, E)
+    if not slab:
+        return _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e,
+                             pus, pos_e, du, stress, strain, eq_ps, yield_s,
+                             element_flag)
+    n = -(-E // slab)
+    z = jnp.zeros((), jnp.int32)
+
+    def sl(a, start):
+        idx = (z,) * (a.ndim - 1) + (start,)
+        return jax.lax.dynamic_slice(a, idx, a.shape[:-1] + (slab,))
+
+    def run_slab(start):
+        return _element_math(
+            pl_tables, sl(mat_id, start), sl(G_e, start), sl(lam_e, start),
+            sl(has_plastic_e, start), pus, sl(pos_e, start), sl(du, start),
+            [sl(s, start) for s in stress], [sl(e, start) for e in strain],
+            sl(eq_ps, start), sl(yield_s, start), sl(element_flag, start))
+
+    shapes = jax.eval_shape(run_slab, jnp.zeros((), jnp.int32))
+
+    def full(sd):
+        return jnp.zeros(sd.shape[:-1] + (E,), sd.dtype)
+
+    init = jax.tree_util.tree_map(full, shapes)
+
+    def body(k, outs):
+        # the last slab clamps to E-slab: its overlap with the previous slab
+        # recomputes identical values, so the overlapping writes agree
+        start = jnp.minimum(k * slab, jnp.int32(E - slab))
+        res = run_slab(start)
+
+        def put(dst, src):
+            idx = (z,) * (dst.ndim - 1) + (start,)
+            return jax.lax.dynamic_update_slice(dst, src, idx)
+
+        return jax.tree_util.tree_map(put, outs, res)
+
+    return jax.lax.fori_loop(0, n, body, init)
 
 
 _TILE_E = 512

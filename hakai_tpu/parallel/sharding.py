@@ -49,7 +49,8 @@ def _strip_plans(model: LoweredModel) -> LoweredModel:
     XLA per shard (per-shard plans are a planned follow-up)."""
     pairs = tuple(dataclasses.replace(p, plan_tpos=None, plan_tvel=None,
                                       plan_inode=None, plan_jnode=None,
-                                      plan_fgi=None, plan_fgt=None)
+                                      plan_fgi=None, plan_fgt=None,
+                                      plan_fx=None, plan_pick=None)
                   for p in model.pairs)
     return dataclasses.replace(model, plan_pos=None, plan_asm=None,
                                asm_mask=None, asm_vl=0, pairs=pairs)
