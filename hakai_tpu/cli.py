@@ -38,6 +38,11 @@ def main(argv=None):
                     help="write per-chunk JSONL diagnostics to this path")
     ap.add_argument("--check-nan", action="store_true",
                     help="abort when displacements go non-finite")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="element-shard the run over this many devices "
+                         "(jax.sharding.Mesh; frames match a "
+                         "single-device run byte-for-byte at VTK "
+                         "ASCII precision)")
     args = ap.parse_args(argv)
 
     from .config import ContactConfig, SolverConfig
@@ -47,7 +52,8 @@ def main(argv=None):
         out_dir=args.out_dir,
         output_num=args.output_num,
         node_pad=args.node_pad,
-        elem_pad=args.elem_pad,
+        elem_pad=(args.elem_pad if not args.devices
+                  else max(args.elem_pad, 8) * args.devices),
         contact=ContactConfig(kc=args.kc, kc_self=args.kc, myu=args.myu),
         metrics_path=args.metrics,
         checkpoint_every=args.checkpoint_every,
@@ -80,7 +86,14 @@ def main(argv=None):
     if args.resume:
         state = load_checkpoint(args.resume, state)
         print(f"resumed at step {int(state.t)}")
-    state = run(model, state, write_output=not args.no_output)
+    if args.devices and args.devices > 1:
+        import jax
+        n_vis = len(jax.devices())
+        if n_vis < args.devices:
+            raise SystemExit(f"--devices {args.devices} requested but only "
+                             f"{n_vis} visible")
+    state = run(model, state, write_output=not args.no_output,
+                devices=args.devices)
     if args.checkpoint_every:
         save_checkpoint(f"{args.out_dir}/final.ckpt.npz", state)
     return state

@@ -51,9 +51,11 @@ class SolverConfig:
     element_kernel: str = "auto"  # "auto"/"xla": fused XLA path (fastest
     #                              measured); "pallas": opt-in experimental
     #                              fused Pallas kernel (ops/element_pallas.py)
-    elem_slab: int = -1          # element-math slab size for the HBM-spill
-    #                              regime: -1 auto (131072 when E >= 262144),
-    #                              0 off, >0 explicit (multiple of 128)
+    elem_slab: int = 0           # element-math slab size (fori_loop slabs of
+    #                              the element-local math); 0 off (measured
+    #                              slower at 1M: the slab loop's DUS carries
+    #                              cost more than the HBM spill it avoids),
+    #                              >0 explicit (multiple of 128)
     metrics_path: str | None = None  # JSONL per-chunk diagnostics stream
     checkpoint_every: int = 0    # save resumable checkpoint every N frames
     checkpoint_path: str | None = None

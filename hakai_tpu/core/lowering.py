@@ -46,6 +46,32 @@ def _round_up(x: int, m: int) -> int:
     return int(-(-x // m) * m)
 
 
+def assembly_lanes(elem: np.ndarray, nE: int, E: int, N: int):
+    """Slot-pure assembly lanes: lane (slot i, dup d) holds at most one
+    incident element per node.  Returns [(idx (N,) into i*E+e, mask (N,))].
+    Shared by the single-chip lowering and the per-shard plan builder
+    (parallel/sharding.py)."""
+    lanes = []
+    for i in range(8):
+        nodes_i = elem[i, :nE]
+        order = np.argsort(nodes_i, kind="stable")
+        sn = nodes_i[order]
+        st = np.concatenate([[0], np.nonzero(np.diff(sn))[0] + 1]) \
+            if len(sn) else np.zeros(0, np.int64)
+        grp = np.repeat(st, np.diff(np.concatenate([st, [len(sn)]]))) \
+            if len(sn) else np.zeros(0, np.int64)
+        rank = np.arange(len(sn)) - grp
+        maxdup = int(rank.max()) + 1 if len(sn) else 1
+        for d in range(maxdup):
+            sel = rank == d
+            idx_arr = np.zeros(N, np.int64)
+            msk = np.zeros(N, bool)
+            idx_arr[sn[sel]] = i * E + order[sel]
+            msk[sn[sel]] = True
+            lanes.append((idx_arr, msk))
+    return lanes
+
+
 def _dup_lanes(targets: np.ndarray, src_ids: np.ndarray, n_out: int):
     """Scatter-as-gather lanes: output o sums src[idx[o]] over the returned
     (idx (n_out,), mask (n_out,)) lanes.  Entries with equal targets are
@@ -756,26 +782,7 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         plan_pos = plan_blocked_gather(elem.reshape(-1), N,
                                        valid=np.tile(elem_exists, 8),
                                        subgroups=4)
-        # slot-pure assembly lanes: lane (slot i, dup d) holds at most one
-        # incident element per node
-        lanes = []
-        for i in range(8):
-            nodes_i = elem[i, :nE]
-            order = np.argsort(nodes_i, kind="stable")
-            sn = nodes_i[order]
-            st = np.concatenate([[0], np.nonzero(np.diff(sn))[0] + 1]) \
-                if len(sn) else np.zeros(0, np.int64)
-            grp = np.repeat(st, np.diff(np.concatenate([st, [len(sn)]]))) \
-                if len(sn) else np.zeros(0, np.int64)
-            rank = np.arange(len(sn)) - grp
-            maxdup = int(rank.max()) + 1 if len(sn) else 1
-            for d in range(maxdup):
-                sel = rank == d
-                idx_arr = np.zeros(N, np.int64)
-                msk = np.zeros(N, bool)
-                idx_arr[sn[sel]] = i * E + order[sel]
-                msk[sn[sel]] = True
-                lanes.append((idx_arr, msk))
+        lanes = assembly_lanes(elem, nE, E, N)
         asm_vl = len(lanes)
         asm_idx = np.concatenate([l[0] for l in lanes])
         asm_mask = np.stack([l[1] for l in lanes])

@@ -164,8 +164,6 @@ def _resolve_slab(model: LoweredModel, E: int) -> int:
     element-local math over a fori_loop keeps every slab's working set
     VMEM-resident; HBM then only carries each input/output once."""
     slab = model.config.elem_slab
-    if slab == -1:                      # auto
-        slab = 131072 if E >= 2 * 131072 else 0
     if slab <= 0 or E <= slab:
         return 0
     return slab

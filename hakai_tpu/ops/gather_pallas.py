@@ -79,7 +79,9 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
                         r_tile: int = 2048,
                         max_w_rows: int = 64,
                         subgroups: int = 1,
-                        diag_max_k: int = 6) -> GatherPlan:
+                        diag_max_k: int = 6,
+                        min_w_rows: int = 1,
+                        min_m_w_rows: int = 0) -> GatherPlan:
     """Build a :class:`GatherPlan` for gathering ``indices`` (R,) out of a
     source of length ``source_len`` (must be a multiple of 128).
 
@@ -117,6 +119,9 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
         w_rows = max(w_rows, rows)
     if w_rows > max_w_rows:
         ok = False
+    # forced minima let per-shard plans share one kernel template (uniform
+    # static meta across shards; see plan_sharded_gather)
+    w_rows = max(w_rows, min(min_w_rows, max(source_len // LANE, 1)))
     # clamp starts so windows stay in range
     src_rows = source_len // LANE
     starts = np.minimum(starts, max(src_rows - w_rows, 0)).astype(np.int32)
@@ -211,10 +216,12 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
         s2 = starts_pad.reshape(n_m, sg)
         m_start = s2.min(axis=1)
         m_w = int((s2 + w_rows - m_start[:, None]).max())
+        m_w = max(m_w, min_m_w_rows)
         m_w = min(m_w, src_rows)
         m_start = np.minimum(m_start, max(src_rows - m_w, 0))
         sub_off_a = (s2 - m_start[:, None]).astype(np.int32)
-        if (sub_off_a + w_rows > m_w).any() or m_w > max(4 * w_rows, 192):
+        if (sub_off_a + w_rows > m_w).any() \
+                or m_w > max(4 * w_rows, 192, min_m_w_rows):
             sg = 1          # merged window cannot cover; fall back to legacy
         else:
             # pad index blocks to the merged grid
@@ -718,3 +725,74 @@ def blocked_gather(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
         grid_spec=grid_spec,
     )(plan.starts, plan.local_idx, src3)
     return out.reshape(C, plan.r_pad)[:, :plan.r]
+
+
+def plan_sharded_gather(indices_per_shard, source_len: int,
+                        valid_per_shard=None, r_tile: int = 2048,
+                        max_w_rows: int = 64,
+                        subgroups: int = 4) -> GatherPlan:
+    """Per-shard plans with *uniform* static meta, stacked on a leading
+    shard axis.
+
+    Inside ``shard_map`` every device runs the same program, so the plan's
+    static fields (w_rows, sg, m_w_rows, n_tiles, …) must agree across
+    shards while the index arrays differ.  Each shard's slice is planned
+    independently in chunk-select mode (diag off — its dk/pad meta is too
+    data-dependent to unify), then re-planned with the max window sizes
+    forced, and the arrays stacked.  Use :func:`plan_local` on the
+    device-local slice inside the shard_map body.
+
+    Falls back to ``ok=False`` (XLA gather via ``global_idx``) when any
+    shard's plan does.
+    """
+    S = len(indices_per_shard)
+    if valid_per_shard is None:
+        valid_per_shard = [None] * S
+
+    def plan_all(min_w, min_mw, sg):
+        return [plan_blocked_gather(indices_per_shard[d], source_len,
+                                    valid=valid_per_shard[d], r_tile=r_tile,
+                                    max_w_rows=max_w_rows, subgroups=sg,
+                                    diag_max_k=0, min_w_rows=min_w,
+                                    min_m_w_rows=min_mw)
+                for d in range(S)]
+
+    plans = plan_all(1, 0, subgroups)
+    uniform_ok = (all(p.ok for p in plans)
+                  and len({p.r for p in plans}) == 1)
+    if uniform_ok:
+        sg = min(p.sg for p in plans)         # any sg=1 fallback wins
+        plans = plan_all(max(p.w_rows for p in plans),
+                         max(p.m_w_rows for p in plans), sg)
+        uniform_ok = (all(p.ok for p in plans)
+                      and len({(p.r, p.r_pad, p.w_rows, p.m_w_rows, p.sg,
+                                p.n_tiles) for p in plans}) == 1)
+
+    def stack(field):
+        vals = [getattr(p, field) for p in plans]
+        if any(v is None for v in vals):
+            return None
+        return jnp.stack(vals)
+
+    meta = plans[0]
+    return GatherPlan(
+        r=meta.r, r_pad=meta.r_pad, r_tile=meta.r_tile, w_rows=meta.w_rows,
+        n_tiles=meta.n_tiles, ok=bool(uniform_ok), dk=0, pad=0,
+        sg=meta.sg if uniform_ok else 1,
+        m_w_rows=meta.m_w_rows if uniform_ok else 0,
+        starts=stack("starts"), local_idx=stack("local_idx"),
+        global_idx=stack("global_idx"),
+        m_starts=stack("m_starts") if uniform_ok else None,
+        sub_off=stack("sub_off") if uniform_ok else None,
+    )
+
+
+def plan_local(plan: GatherPlan) -> GatherPlan:
+    """Device-local view of a stacked per-shard plan inside shard_map
+    (arrays arrive with a leading shard axis of size 1)."""
+    rep = {}
+    for f in dataclasses.fields(plan):
+        v = getattr(plan, f.name)
+        if not f.metadata.get("static") and v is not None:
+            rep[f.name] = v[0]
+    return dataclasses.replace(plan, **rep)

@@ -226,8 +226,15 @@ def _deck_order_frame(model: LoweredModel, state: SimState, nd):
 
 
 def run(model: LoweredModel, state: SimState | None = None,
-        verbose: bool = True, write_output: bool = True):
+        verbose: bool = True, write_output: bool = True,
+        devices: int | None = None):
     """Whole simulation: time_num steps, 100 VTK frames (HAKAI_j.jl:471-480).
+
+    ``devices`` > 1 runs element-sharded over a ``jax.sharding.Mesh`` of
+    that many devices (parallel/sharding.py) with per-shard Pallas gather
+    plans; the assembly psum is a disjoint lane union (no reduction-order
+    error), so output frames are byte-identical to a single-device run at
+    VTK ASCII precision.
 
     Returns the final state.
     """
@@ -235,6 +242,21 @@ def run(model: LoweredModel, state: SimState | None = None,
 
     cfg = model.config
     state = state if state is not None else init_state(model)
+
+    if devices is not None and devices > 1:
+        from ..parallel.sharding import (make_mesh, make_sharded_step,
+                                         shard_arrays)
+        mesh = make_mesh(devices)
+        model_s, state = shard_arrays(model, state, mesh)
+        steppers = {}
+
+        def step_chunk(s, n):
+            if n not in steppers:
+                steppers[n] = make_sharded_step(model_s, mesh, n_steps=n)
+            return steppers[n](s)
+    else:
+        def step_chunk(s, n):
+            return run_chunk(model, s, n)
 
     time_num = model.time_num
     output_num = cfg.output_num
@@ -255,7 +277,7 @@ def run(model: LoweredModel, state: SimState | None = None,
     i_out = done // d_out + 1
     while done < time_num:
         n = min(d_out, time_num - done)
-        state = run_chunk(model, state, n)
+        state = step_chunk(state, n)
         done += n
         if cfg.check_nan and not bool(jnp.isfinite(state.disp).all()):
             raise FloatingPointError(f"NaN/Inf in displacement at step {done}")

