@@ -74,7 +74,7 @@ def _pad_last(a, n_to, fill=0):
 
 
 def _pair_force(model: LoweredModel, pair: ContactPairArrays,
-                position, velo, flag):
+                position, velo, flag, axis_name=None):
     cfgc = model.config.contact
     dt = position.dtype
     N = position.shape[1]
@@ -295,9 +295,31 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
                 force_t, ft + f.sum(axis=2) / 3.0, (z, t0))
             return force_i, force_t
 
-        force_i, force_t = jax.lax.fori_loop(
-            0, act_p, blk_pair,
-            (jnp.zeros((3, Cp), dt), jnp.zeros((3, Tp), dt)))
+        if axis_name is not None:
+            # partitioned narrow phase under shard_map: device d takes every
+            # n-th surviving block pair (round-robin over the compacted
+            # list), partial compact forces are psum'd, and the epilogue
+            # below runs replicated.  Communication is the small compact
+            # (3, Cp)+(3, Tp) arrays, not the (3, N) force — and the
+            # O(TB*nb) narrow-phase flops split n ways (the reference's
+            # only contact parallelism is shared-memory @floop,
+            # HAKAI_j.jl:2370).
+            n_dev = jax.lax.axis_size(axis_name)
+            d_idx = jax.lax.axis_index(axis_name)
+            trips = (act_p + n_dev - 1 - d_idx) // n_dev
+
+            def blk_pair_strided(i, carry):
+                return blk_pair(d_idx + i * n_dev, carry)
+
+            force_i, force_t = jax.lax.fori_loop(
+                0, trips, blk_pair_strided,
+                (jnp.zeros((3, Cp), dt), jnp.zeros((3, Tp), dt)))
+            force_i = jax.lax.psum(force_i, axis_name)
+            force_t = jax.lax.psum(force_t, axis_name)
+        else:
+            force_i, force_t = jax.lax.fori_loop(
+                0, act_p, blk_pair,
+                (jnp.zeros((3, Cp), dt), jnp.zeros((3, Tp), dt)))
         if pair.plan_fgi is not None:
             # scatter-as-gather: each node sums its (masked) contributions in
             # lanes — XLA's scatter-add is serial on TPU (~0.9 ms per vertex
@@ -341,14 +363,19 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
                         lambda _: jnp.zeros((3, N), dt), None)
 
 
-def contact_forces(model: LoweredModel, state) -> jnp.ndarray:
+def contact_forces(model: LoweredModel, state, axis_name=None) -> jnp.ndarray:
     """Sum of all directional contact-pair forces, (3, N) in the kinematic
-    dtype (narrow phase runs in edtype — f32 in mixed mode)."""
+    dtype (narrow phase runs in edtype — f32 in mixed mode).
+
+    ``axis_name`` (inside shard_map) partitions each pair's narrow-phase
+    block loop round-robin across the mesh axis and psums the compact
+    per-pair forces — distributed contact compute without all-gathering
+    any (3, N) array."""
     edt = model.edtype
     position = (model.coord + state.disp).astype(edt)
     velo = state.velo.astype(edt)
     total = jnp.zeros_like(position)
     for pair in model.pairs:
         total = total + _pair_force(model, pair, position, velo,
-                                    state.element_flag)
+                                    state.element_flag, axis_name)
     return total.astype(model.dtype)

@@ -171,9 +171,10 @@ def _sharded_integrate(lm: LoweredModel, state: SimState):
     cforce = state.contact_force
     if lm.pairs:
         flag_g = jax.lax.all_gather(state.element_flag, "dp", tiled=True)
-        # contact_forces reads element_flag and disp/velo from a state view
+        # contact_forces reads element_flag and disp/velo from a state view;
+        # the narrow phase is partitioned round-robin over 'dp'
         gstate = state.replace(element_flag=flag_g)
-        cforce = contact_forces(lm, gstate)
+        cforce = contact_forces(lm, gstate, axis_name="dp")
         external = external + cforce
 
     a1 = lm.diag_M / dt**2

@@ -133,3 +133,30 @@ def test_run_devices_vtk_identical(tmp_path):
             vb = np.array([float(x) for x in fb])
             np.testing.assert_allclose(va, vb, rtol=1e-6, atol=1e-9,
                                        err_msg=f"{name}: {a} vs {b}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_bullet_impact_erosion():
+    """Contact under decomposition: bullet-impact (contact + erosion +
+    surface re-exposure) matches single-device on the 8-CPU mesh with the
+    round-robin-partitioned narrow phase (ops/contact.py)."""
+    from hakai_tpu.io.inp import read_inp_file
+    from conftest import ref_deck
+
+    m = read_inp_file(ref_deck("bullet-impact.inp"))
+    lm = lower(m, SolverConfig(elem_pad=8))
+    n_steps = 1200            # enough to erode elements and re-expose faces
+    ref = run_chunk(lm, init_state(lm), n_steps)
+    assert int(np.asarray(ref.element_flag).sum()) < int(
+        np.asarray(lm.elem_exists).sum())   # erosion actually happened
+
+    mesh = make_mesh(8)
+    ms, ss = shard_arrays(lm, init_state(lm), mesh)
+    out = make_sharded_step(ms, mesh, n_steps=n_steps)(ss)
+    assert np.array_equal(np.asarray(out.element_flag),
+                          np.asarray(ref.element_flag))
+    np.testing.assert_allclose(np.asarray(out.disp), np.asarray(ref.disp),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.contact_force),
+                               np.asarray(ref.contact_force),
+                               rtol=1e-8, atol=1e-11)
