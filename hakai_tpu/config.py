@@ -25,11 +25,12 @@ class ContactConfig:
     node_capacity: int | None = None
     node_block: int = 2048     # narrow-phase node-tile size (memory bound)
     tri_block: int = 512       # narrow-phase triangle-tile size
-    # self-contact tiles are smaller: every node is near the surface it
-    # belongs to, so only fine node/tri tiles give the block-pair AABB cull
-    # any selectivity (the buckling tube folds onto itself locally)
-    node_block_self: int = 256
-    tri_block_self: int = 256
+    # self-contact tile knobs; swept on the crash tube (scratch sweep,
+    # 2026-08-17): finer tiles LOSE — (256,256) 2.43 ms vs (512,2048)
+    # 1.63 ms/step — per-trip loop overhead beats the extra AABB-cull
+    # selectivity, so the defaults match the cross-pair tiles
+    node_block_self: int = 2048
+    tri_block_self: int = 512
 
 
 @dataclass(frozen=True)
