@@ -50,8 +50,10 @@ class SolverConfig:
     renumber: str = "auto"       # "auto" | "off": RCM-renumber scattered
     #                              meshes so gather plans / halo widths fit
     element_kernel: str = "auto"  # "auto"/"xla": fused XLA path (fastest
-    #                              measured); "pallas": opt-in experimental
-    #                              fused Pallas kernel (ops/element_pallas.py)
+    #                              measured); "pallas": opt-in fused Pallas
+    #                              kernel (packed-buffer variant; ~2.8x
+    #                              slower — Mosaic serializes the unrolled
+    #                              elementwise graph; see docs/PERF.md)
     elem_slab: int = 0           # element-math slab size (fori_loop slabs of
     #                              the element-local math); 0 off (measured
     #                              slower at 1M: the slab loop's DUS carries

@@ -115,6 +115,22 @@ def element_update(model: LoweredModel,
                         element_flag)
 
 
+def pallas_core_ok(model: LoweredModel, E: int, dt) -> bool:
+    """Eligibility for the *opt-in* fused Pallas element kernel: f32 math
+    (TPU custom calls cannot take f64), tile-divisible element count,
+    TPU backend.  Robust long-loop timing (docs/PERF.md round-2 negative
+    results) puts the kernel at 1.7 ms/step vs fused XLA's 0.6 ms at 131k
+    even with the packed single-buffer layout and a 1024 tile — Mosaic
+    serializes the unrolled elementwise graph — so it never auto-enables;
+    a short slope measurement that suggested 5x the XLA rate was a timing
+    artifact of the async dispatch path."""
+    if model.config.element_kernel != "pallas":
+        return False
+    return (jax.default_backend() == "tpu"
+            and jnp.dtype(dt) == jnp.float32
+            and E % _TILE_E == 0 and E >= _TILE_E)
+
+
 def element_core(model: LoweredModel,
                  pos_e: jnp.ndarray,        # (3, 8, E)
                  du: jnp.ndarray,           # (3, 8, E)
@@ -124,18 +140,18 @@ def element_core(model: LoweredModel,
                  yield_s: jnp.ndarray,      # (8, E)
                  element_flag: jnp.ndarray,  # (E,) bool
                  ) -> ElementResult:
-    """Dispatch: XLA by default. The fused Pallas variant
-    (ops/element_pallas.py) keeps temporaries in VMEM but Mosaic serializes
-    the unrolled (8,E) ops and loses to XLA's fusion on v5e (measured 2.0ms
-    vs 1.0ms at 131k elements) — opt in with element_kernel="pallas" for
-    experimentation."""
-    use_pallas = (model.config.element_kernel == "pallas"
-                  and jax.default_backend() == "tpu"
-                  and pos_e.shape[-1] % _TILE_E == 0)
-    if use_pallas:
+    """Dispatch: fused Pallas kernel when eligible (see pallas_core_ok),
+    fused XLA otherwise (f64, CPU, or tile-indivisible meshes)."""
+    if pallas_core_ok(model, pos_e.shape[-1], pos_e.dtype):
         from .element_pallas import element_core_pallas
-        return element_core_pallas(model, pos_e, du, stress, strain, eq_ps,
-                                   yield_s, element_flag)
+        res = element_core_pallas(model, pos_e, du, stress, strain, eq_ps,
+                                  yield_s, element_flag)
+        if model.config.metrics_path is not None:
+            # neg-Jacobian diagnostic on demand (costs a J recompute)
+            neg = jnp.sum(_det_sign_negative(pos_e) & element_flag[None, :],
+                          dtype=jnp.int32)
+            res = res._replace(neg_jacobian=neg)
+        return res
     qe, s_c, e_c, eq, y = _math_maybe_slabbed(
         model, model.pl_tables, model.mat_id, model.G_e, model.lam_e,
         model.has_plastic_e, jnp.asarray(_PUS, pos_e.dtype), pos_e, du,
@@ -214,7 +230,7 @@ def _math_maybe_slabbed(model, pl_tables, mat_id, G_e, lam_e, has_plastic_e,
     return jax.lax.fori_loop(0, n, body, init)
 
 
-_TILE_E = 512
+_TILE_E = 1024
 
 
 def _det_sign_negative(pos_e):

@@ -171,14 +171,72 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
     return new_state, disp_e, tuple(s_c), tuple(e_c)
 
 
+def step_fast_packed(model: LoweredModel, state: SimState, disp_e_prev, P):
+    """disp_e-carry step for the fused Pallas element kernel: the whole
+    Gauss-point state travels as one packed (112, E) array ``P`` (see
+    ops/element_pallas.element_core_packed), minimizing the kernel's
+    per-grid-step DMA issues."""
+    from ..ops.element import (assemble_internal_force, gather_disp_e,
+                               triax_components)
+    from ..ops.element_pallas import element_core_packed
+    from ..ops.erosion import erosion_delete_mask
+
+    edt = model.edtype
+    E = model.E
+    t, disp_new, velo, cforce = _integrate(model, state)
+    disp_e = gather_disp_e(model, disp_new)
+    pos24 = (model.coord_e
+             + (disp_e - disp_e[:, 0:1, :]).astype(edt)).reshape(24, E)
+    du24 = (disp_e - disp_e_prev).astype(edt).reshape(24, E)
+    P_new, qe = element_core_packed(model, pos24, du24, P,
+                                    state.element_flag)
+    Q = assemble_internal_force(model, qe.reshape(3, 8, E)
+                                ).astype(model.dtype)
+    s_rows = [P_new[8 * c:8 * (c + 1)] for c in range(6)]
+    triax = triax_components(s_rows)
+    flag = state.element_flag
+    if model.fracture_enabled:
+        flag, delete = erosion_delete_mask(model, P_new[96:104], triax, flag)
+        keep = ~delete[None, :]
+        P_new = jnp.concatenate(
+            [jnp.where(keep, P_new[:96], 0.0), P_new[96:]], axis=0)
+    new_state = state.replace(
+        t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
+        triax=triax, element_flag=flag, contact_force=cforce)
+    return new_state, disp_e, P_new
+
+
+def pack_gauss_state(state: SimState, E: int):
+    return jnp.concatenate(
+        [state.stress.reshape(48, E), state.strain.reshape(48, E),
+         state.eq_ps, state.yield_s], axis=0)
+
+
+def unpack_gauss_state(state: SimState, P, E: int) -> SimState:
+    return state.replace(stress=P[:48].reshape(6, 8, E),
+                         strain=P[48:96].reshape(6, 8, E),
+                         eq_ps=P[96:104], yield_s=P[104:112])
+
+
 @partial(jax.jit, static_argnums=(2,))
 def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
     # disp_e-carry fast path; in mixed mode the carry is f64 (differences
     # cancel before the f32 cast inside step_fast)
     if model.coord_e is not None:
-        from ..ops.element import gather_disp_e
+        from ..ops.element import gather_disp_e, pallas_core_ok
 
         disp_e0 = gather_disp_e(model, state.disp)
+        if pallas_core_ok(model, model.E, model.edtype):
+            E = model.E
+            P0 = pack_gauss_state(state, E)
+            dummy = jnp.zeros((0,), model.dtype)
+            s0 = state.replace(stress=dummy, strain=dummy, eq_ps=dummy,
+                               yield_s=dummy)
+            out, _, P = jax.lax.fori_loop(
+                0, n_steps,
+                lambda _, c: step_fast_packed(model, c[0], c[1], c[2]),
+                (s0, disp_e0, P0))
+            return unpack_gauss_state(out, P, E)
         stress_c0 = tuple(state.stress[c] for c in range(6))
         strain_c0 = tuple(state.strain[c] for c in range(6))
         dummy = jnp.zeros((0,), model.dtype)
