@@ -18,8 +18,11 @@ long-context row):
     two H-row exchanges per step instead of an N-row all-reduce;
   * the node integrator runs on owned rows only.
 
-Contact is not routed through this path yet (use parallel.sharding for
-contact decks); the halo step asserts the model has no contact pairs.
+Contact is not routed through this path (parallel/sharding.py — the
+product multi-chip path reachable via run(devices=N)/CLI --devices —
+handles contact with a round-robin-partitioned narrow phase); the halo
+step asserts the model has no contact pairs and remains the pod-scale
+building block for contactless meshes beyond ~1M nodes.
 """
 from __future__ import annotations
 
@@ -53,6 +56,7 @@ class HaloModel:
     base: LoweredModel = None          # original (arrays unused in hot loop)
 
     elem_w: jnp.ndarray = None         # (S, 8, El) window-local node ids
+    elem_gid: jnp.ndarray = None       # (S, El) global element ids (-1 pad)
     elem_alive0: jnp.ndarray = None    # (S, El) bool
     mat_id: jnp.ndarray = None         # (S, El)
     G_e: jnp.ndarray = None            # (S, El)
@@ -124,6 +128,7 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
 
     S = n_shards
     elem_w = np.zeros((S, 8, El), np.int64)
+    elem_gid = np.full((S, El), -1, np.int64)
     alive0 = np.zeros((S, El), bool)
     mat_id = np.zeros((S, El), np.int64)
     fields = {k: np.zeros((S, El)) for k in ("G_e", "lam_e", "yield0_e")}
@@ -139,6 +144,7 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
             continue
         # window-local = global - (d*No - H)
         elem_w[d, :, :k] = elem[:, ids] - (d * No - H)
+        elem_gid[d, :k] = ids
         alive0[d, :k] = exists[ids]
         mat_id[d, :k] = g_mat[ids]
         fields["G_e"][d, :k] = g_G[ids]
@@ -167,6 +173,7 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
     return HaloModel(
         n_shards=S, No=No, H=int(H), El=El, base=model,
         elem_w=jnp.asarray(elem_w, jnp.int32),
+        elem_gid=jnp.asarray(elem_gid, jnp.int32),
         elem_alive0=jnp.asarray(alive0),
         mat_id=jnp.asarray(mat_id, jnp.int32),
         G_e=jnp.asarray(fields["G_e"], dtype),
@@ -320,24 +327,35 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
 
 
 def gather_state(hm: HaloModel, s: HaloState) -> SimState:
-    """Host-side reassembly into a single-chip SimState view (for output)."""
+    """Host-side reassembly into a single-chip SimState view: node fields
+    are concatenated shard-major; element fields scatter back to global
+    element order through the shard->global permutation kept at
+    partition time (elem_gid), so halo runs can emit full VTK frames."""
     def join_nodes(a):   # (S, ..., No) -> (..., N)
         a = np.asarray(a)
         return np.moveaxis(a, 0, -2).reshape(a.shape[1:-1] + (-1,))
     base = hm.base
-    # element fields: scatter shards back to global order is lossy (we do not
-    # keep the permutation here); diagnostics only
+    gid = np.asarray(hm.elem_gid)                 # (S, El), -1 pad
+    valid = gid >= 0
+
+    def join_elems(a, fill=0.0):   # (S, ..., El) -> (..., E)
+        a = np.asarray(a)
+        out = np.full(a.shape[1:-1] + (base.E,), fill, a.dtype)
+        src = np.moveaxis(a, 0, -2)               # (..., S, El)
+        out[..., gid[valid]] = src[..., valid]
+        return out
+
     return SimState(
         t=jnp.asarray(s.t),
         disp=jnp.asarray(join_nodes(s.disp)),
         disp_pre=jnp.asarray(join_nodes(s.disp_pre)),
         velo=jnp.asarray(join_nodes(s.velo)),
         Q=jnp.asarray(join_nodes(s.Q)),
-        stress=base and jnp.zeros((6, 8, base.E), base.dtype),
-        strain=jnp.zeros((6, 8, base.E), base.dtype),
-        eq_ps=jnp.zeros((8, base.E), base.dtype),
-        yield_s=jnp.zeros((8, base.E), base.dtype),
-        triax=jnp.zeros((8, base.E), base.dtype),
-        element_flag=base.elem_exists,
+        stress=jnp.asarray(join_elems(s.stress)),
+        strain=jnp.asarray(join_elems(s.strain)),
+        eq_ps=jnp.asarray(join_elems(s.eq_ps)),
+        yield_s=jnp.asarray(join_elems(s.yield_s)),
+        triax=jnp.asarray(join_elems(s.triax)),
+        element_flag=jnp.asarray(join_elems(s.element_flag, fill=False)),
         contact_force=jnp.zeros((3, base.N), base.dtype),
     )

@@ -41,6 +41,13 @@ def test_halo_matches_single_device():
                                rtol=1e-10, atol=1e-14)
     np.testing.assert_allclose(np.asarray(got.velo), np.asarray(ref.velo),
                                rtol=1e-10, atol=1e-12)
+    # element fields reassemble through the shard->global permutation
+    np.testing.assert_allclose(np.asarray(got.stress), np.asarray(ref.stress),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.eq_ps), np.asarray(ref.eq_ps),
+                               rtol=1e-9, atol=1e-15)
+    assert np.array_equal(np.asarray(got.element_flag),
+                          np.asarray(ref.element_flag))
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -72,6 +79,10 @@ def test_halo_with_fracture():
     got = gather_state(hm, out)
     np.testing.assert_allclose(np.asarray(got.disp), np.asarray(ref.disp),
                                rtol=1e-9, atol=1e-12)
+    assert np.array_equal(np.asarray(got.element_flag),
+                          np.asarray(ref.element_flag))
+    np.testing.assert_allclose(np.asarray(got.stress), np.asarray(ref.stress),
+                               rtol=1e-8, atol=1e-10)
     # some elements must actually have eroded for the test to mean anything
     assert int(np.asarray(ref.element_flag).sum()) < lm.n_element \
         or float(ref.eq_ps.max()) > 0.0
