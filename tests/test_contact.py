@@ -167,3 +167,56 @@ def test_self_contact_excludes_own_element():
     st = init_state(lm)
     f = np.asarray(contact_forces(lm, st))
     np.testing.assert_allclose(f, 0.0)
+
+
+def test_tree_mode_force_assembly():
+    """Large shell inventories (the 127k-triangle N22k car) overflow the
+    compact lane plan's tile windows and fall back to the sorted-
+    contribution segmented tree-sum; validate that epilogue against a
+    direct scatter (ops/contact.py tree branch)."""
+    import jax
+    import jax.numpy as jnp
+    from conftest import ref_deck
+    from hakai_tpu.io.inp import read_inp_file
+    from hakai_tpu.ops.contact import _pad_last
+    from hakai_tpu.ops.gather_pallas import blocked_gather
+
+    lm = lower(read_inp_file(ref_deck("car-crash-N22k.inp")),
+               SolverConfig(dtype="float32"))
+    tree_pairs = [p for p in lm.pairs if p.fgt_segmask is not None]
+    lane_pairs = [p for p in lm.pairs if p.fgt_segmask is None]
+    assert tree_pairs and lane_pairs     # deck exercises both modes
+    N = lm.N
+    rng = np.random.default_rng(7)
+    for pair in lm.pairs:
+        F2 = pair.tri_nodes.shape[1]
+        force_t = jnp.asarray(rng.normal(size=(3, F2)), jnp.float32)
+
+        @jax.jit
+        def fast(ft, pair=pair):
+            ftp = _pad_last(ft, pair.fgt_src)
+            if pair.fgt_segmask is not None:
+                c = blocked_gather(ftp, pair.plan_fgt)
+                for si, s in enumerate(pair.fgt_strides):
+                    sh = jnp.pad(c[:, s:], ((0, 0), (0, s)))
+                    c = c + jnp.where(pair.fgt_segmask[si][None], sh, 0.0)
+                c = _pad_last(c, pair.fgt_k)
+                f_tn = blocked_gather(c, pair.plan_pick)
+                f_tn = jnp.where(pair.fgt_tnvalid[None], f_tn, 0.0)
+            else:
+                gt = blocked_gather(ftp, pair.plan_fgt).reshape(
+                    3, pair.fgt_vl, pair.fgt_n)
+                f_tn = jnp.where(pair.fgt_mask[None], gt, 0.0).sum(axis=1)
+            fx = blocked_gather(f_tn, pair.plan_fx)[:, :N]
+            return jnp.where(pair.fx_mask[None], fx, 0.0)
+
+        @jax.jit
+        def ref(ft, pair=pair):
+            g = jnp.zeros((3, N), ft.dtype)
+            for v in range(3):
+                g = g.at[:, pair.tri_nodes[v]].add(ft, mode="drop")
+            return g
+
+        a, b = np.asarray(fast(force_t)), np.asarray(ref(force_t))
+        err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert err < 1e-5, (pair.fgt_segmask is not None, err)
