@@ -6,7 +6,6 @@ Here: ``python -m hakai_tpu <file.inp> [options]``.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 
 def main(argv=None):
@@ -43,6 +42,10 @@ def main(argv=None):
                          "(jax.sharding.Mesh; frames match a "
                          "single-device run byte-for-byte at VTK "
                          "ASCII precision)")
+    ap.add_argument("--halo", type=int, default=None,
+                    help="node-sharded halo-exchange decomposition over "
+                         "this many devices (contactless decks; pod-scale "
+                         "path, only halo rows ride the interconnect)")
     args = ap.parse_args(argv)
 
     from .config import ContactConfig, SolverConfig
@@ -51,10 +54,12 @@ def main(argv=None):
                "mixed": "mixed"}[args.precision],
         out_dir=args.out_dir,
         output_num=args.output_num,
-        node_pad=args.node_pad,
+        node_pad=(args.node_pad if not args.halo
+                  else max(args.node_pad, 8) * args.halo),
         elem_pad=(args.elem_pad if not args.devices
                   else max(args.elem_pad, 8) * args.devices),
         contact=ContactConfig(kc=args.kc, kc_self=args.kc, myu=args.myu),
+        renumber=("always" if args.halo else "auto"),
         metrics_path=args.metrics,
         checkpoint_every=args.checkpoint_every,
         check_nan=args.check_nan,
@@ -86,14 +91,15 @@ def main(argv=None):
     if args.resume:
         state = load_checkpoint(args.resume, state)
         print(f"resumed at step {int(state.t)}")
-    if args.devices and args.devices > 1:
+    want = max(args.devices or 0, args.halo or 0)
+    if want > 1:
         import jax
         n_vis = len(jax.devices())
-        if n_vis < args.devices:
-            raise SystemExit(f"--devices {args.devices} requested but only "
+        if n_vis < want:
+            raise SystemExit(f"{want} devices requested but only "
                              f"{n_vis} visible")
     state = run(model, state, write_output=not args.no_output,
-                devices=args.devices)
+                devices=args.devices, halo=args.halo)
     if args.checkpoint_every:
         save_checkpoint(f"{args.out_dir}/final.ckpt.npz", state)
     return state

@@ -47,8 +47,11 @@ class SolverConfig:
     check_nan: bool = False      # abort-on-NaN guard between chunks
     gather_mode: str = "auto"    # "auto" | "xla": mesh gathers via the Pallas
     #                              blocked-gather kernel when plans fit (TPU)
-    renumber: str = "auto"       # "auto" | "off": RCM-renumber scattered
-    #                              meshes so gather plans / halo widths fit
+    renumber: str = "auto"       # "auto" | "always" | "off": RCM-renumber
+    #                              scattered meshes so gather plans / halo
+    #                              widths fit ("always": unconditional —
+    #                              the halo path needs bounded bandwidth
+    #                              even when plans fit)
     element_kernel: str = "auto"  # "auto"/"xla": fused XLA path (fastest
     #                              measured); "pallas": opt-in fused Pallas
     #                              kernel (packed-buffer variant; ~2.8x

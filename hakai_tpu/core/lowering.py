@@ -558,8 +558,17 @@ def _lower_contact(model: Model, cfg: SolverConfig, dtype, kw_n_pad=0,
 
 def lower(model: Model, config: SolverConfig | None = None) -> LoweredModel:
     """Lower a parsed model; with ``config.renumber == "auto"`` retry with
-    RCM renumbering when the deck's numbering defeats the gather plans."""
+    RCM renumbering when the deck's numbering defeats the gather plans;
+    ``"always"`` renumbers unconditionally (the halo decomposition needs
+    bandwidth-bounded numbering even when the plans happen to fit)."""
     cfg = config or SolverConfig()
+    if cfg.renumber == "always" and model.n_element > 0:
+        from .renumber import renumber_model
+        m2, node_new2old, elem_new2old = renumber_model(model)
+        return dataclasses.replace(
+            _lower_impl(m2, cfg),
+            node_new2old=jnp.asarray(node_new2old, jnp.int32),
+            elem_new2old=jnp.asarray(elem_new2old, jnp.int32))
     lm = _lower_impl(model, cfg)
     plans_bad = (cfg.gather_mode != "xla" and lm.plan_pos is not None
                  and not (lm.plan_pos.ok and lm.plan_asm.ok))

@@ -114,11 +114,14 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
     El = max(-(-El // 8) * 8, 8)
 
     # halo width: max overshoot of element nodes past the owned range
+    # (real elements only — padding rows are all-zero node ids parked on
+    # the last shard and would blow the width)
     H = 0
     for d, ids in enumerate(shard_elems):
-        if len(ids) == 0:
+        ids_r = ids[exists[ids]]
+        if len(ids_r) == 0:
             continue
-        sub = elem[:, ids]
+        sub = elem[:, ids_r]
         lo, hi = d * No, (d + 1) * No
         H = max(H, int(max(lo - sub.min(), 0)), int(max(sub.max() - (hi - 1), 0)))
     if H > No:
@@ -142,8 +145,10 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
         k = len(ids)
         if k == 0:
             continue
-        # window-local = global - (d*No - H)
-        elem_w[d, :, :k] = elem[:, ids] - (d * No - H)
+        # window-local = global - (d*No - H); padding elements (dead,
+        # masked by alive0) point at window slot 0
+        ew = elem[:, ids] - (d * No - H)
+        elem_w[d, :, :k] = np.where(exists[ids][None, :], ew, 0)
         elem_gid[d, :k] = ids
         alive0[d, :k] = exists[ids]
         mat_id[d, :k] = g_mat[ids]

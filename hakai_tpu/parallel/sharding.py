@@ -28,14 +28,12 @@ ring neighbours) lives in parallel/halo.py for pod-scale meshes.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.lowering import ContactPairArrays, LoweredModel, assembly_lanes
+from ..core.lowering import LoweredModel, assembly_lanes
 from ..core.state import SimState
 from ..ops.contact import contact_forces
 from ..ops.element import element_update, triax_stress

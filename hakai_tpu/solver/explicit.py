@@ -285,14 +285,17 @@ def _deck_order_frame(model: LoweredModel, state: SimState, nd):
 
 def run(model: LoweredModel, state: SimState | None = None,
         verbose: bool = True, write_output: bool = True,
-        devices: int | None = None):
+        devices: int | None = None, halo: int | None = None):
     """Whole simulation: time_num steps, 100 VTK frames (HAKAI_j.jl:471-480).
 
     ``devices`` > 1 runs element-sharded over a ``jax.sharding.Mesh`` of
     that many devices (parallel/sharding.py) with per-shard Pallas gather
     plans; the assembly psum is a disjoint lane union (no reduction-order
     error), so output frames are byte-identical to a single-device run at
-    VTK ASCII precision.
+    VTK ASCII precision.  ``halo`` > 1 instead uses the node-sharded
+    halo-exchange decomposition (parallel/halo.py; contactless decks
+    only, no resume) — the pod-scale path where node state is owned by
+    shards and only halo rows ride the interconnect.
 
     Returns the final state.
     """
@@ -301,7 +304,27 @@ def run(model: LoweredModel, state: SimState | None = None,
     cfg = model.config
     state = state if state is not None else init_state(model)
 
-    if devices is not None and devices > 1:
+    view = None                 # sharded-state -> SimState for host output
+    if halo is not None and halo > 1:
+        from functools import partial as _partial
+
+        from ..parallel.halo import (gather_state, init_halo_state,
+                                     make_halo_step, partition)
+        from ..parallel.sharding import make_mesh
+        if int(state.t) > 0:
+            raise NotImplementedError("halo resume is not supported")
+        hm = partition(model, halo)
+        mesh = make_mesh(halo)
+        state = init_halo_state(hm)
+        steppers = {}
+
+        def step_chunk(s, n):
+            if n not in steppers:
+                steppers[n] = make_halo_step(hm, mesh, n_steps=n)
+            return steppers[n](s)
+
+        view = _partial(gather_state, hm)
+    elif devices is not None and devices > 1:
         from ..parallel.sharding import (make_mesh, make_sharded_step,
                                          shard_arrays)
         mesh = make_mesh(devices)
@@ -322,10 +345,14 @@ def run(model: LoweredModel, state: SimState | None = None,
     n_frames = time_num // d_out if time_num else 0
     metrics = MetricsWriter(cfg.metrics_path)
 
+    if view is None:
+        def view(s):
+            return s
+
     if write_output:
-        nd = node_fields(model, state.stress, state.strain, state.eq_ps,
-                         state.triax)
-        co, el, fl, di, ve, nd_o = _deck_order_frame(model, state, nd)
+        sv = view(state)
+        nd = node_fields(model, sv.stress, sv.strain, sv.eq_ps, sv.triax)
+        co, el, fl, di, ve, nd_o = _deck_order_frame(model, sv, nd)
         write_vtk(0, cfg.out_dir, co, el, fl, di, ve, nd_o,
                   model.n_node, model.n_element)
 
@@ -347,20 +374,20 @@ def run(model: LoweredModel, state: SimState | None = None,
             sys.stdout.write(f"\r{done * model.dt:.4e} / {model.end_time:.4e}     ")
             sys.stdout.flush()
         if cfg.metrics_path is not None:
-            metrics.record(model, state, done, _time.time() - t0)
+            metrics.record(model, view(state), done, _time.time() - t0)
         if write_output and done % d_out == 0 and i_out <= n_frames:
-            nd = node_fields(model, state.stress, state.strain, state.eq_ps,
-                             state.triax)
-            co, el, fl, di, ve, nd_o = _deck_order_frame(model, state, nd)
+            sv = view(state)
+            nd = node_fields(model, sv.stress, sv.strain, sv.eq_ps, sv.triax)
+            co, el, fl, di, ve, nd_o = _deck_order_frame(model, sv, nd)
             write_vtk(i_out, cfg.out_dir, co, el, fl, di, ve, nd_o,
                       model.n_node, model.n_element)
             if cfg.checkpoint_every and i_out % cfg.checkpoint_every == 0:
                 from ..utils.checkpoint import save_checkpoint
                 save_checkpoint(cfg.checkpoint_path
                                 or f"{cfg.out_dir}/ckpt_{i_out:03d}.npz",
-                                state)
+                                sv)
             i_out += 1
     metrics.close()
     if verbose:
         print(f"\nwall: {_time.time() - t0:.2f}s for {time_num} steps")
-    return state
+    return view(state)

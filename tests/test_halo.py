@@ -93,3 +93,41 @@ def test_partition_rejects_contact():
     lm = lower(impact_model(n=2), SolverConfig(node_pad=8))
     with pytest.raises(ValueError):
         partition(lm, 2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_run_halo_vtk(tmp_path):
+    """run(halo=8) is a product path: frames match a single-device run to
+    output precision on a contactless deck."""
+    import re
+    from hakai_tpu.solver.explicit import run
+
+    from hakai_tpu.pre.synthetic import bar_model
+    m = bar_model(nx=8, ny=8, nz=64, d_time=1e-8, end_time=2e-5)  # 200 steps
+    out1 = tmp_path / "single"
+    outh = tmp_path / "halo"
+    lm1 = lower(m, SolverConfig(out_dir=str(out1), node_pad=64,
+                                output_num=2))
+    run(lm1, verbose=False)
+    lmh = lower(m, SolverConfig(out_dir=str(outh), node_pad=64,
+                                output_num=2))
+    run(lmh, verbose=False, halo=8)
+
+    frames1 = sorted(p.name for p in out1.glob("*.vtk"))
+    framesh = sorted(p.name for p in outh.glob("*.vtk"))
+    assert frames1 == framesh and len(frames1) >= 2
+    float_re = re.compile(r"-?\d+\.\d+e[+-]\d+")
+    for name in frames1:
+        t1 = (out1 / name).read_text()
+        th = (outh / name).read_text()
+        scale = max(abs(float(x)) for x in float_re.findall(t1))
+        for a, b in zip(t1.splitlines(), th.splitlines()):
+            if a == b:
+                continue
+            fa, fb = float_re.findall(a), float_re.findall(b)
+            assert fa and len(fa) == len(fb), (name, a, b)
+            np.testing.assert_allclose(
+                np.array([float(x) for x in fa]),
+                np.array([float(x) for x in fb]),
+                rtol=1e-6, atol=1e-6 * scale,
+                err_msg=f"{name}: {a} vs {b}")

@@ -118,9 +118,13 @@ def test_run_devices_vtk_identical(tmp_path):
 
     float_re = __import__("re").compile(r"-?\d+\.\d+e[+-]\d+")
     for name in frames1:
-        l1 = (out1 / name).read_text().splitlines()
-        l8 = (out8 / name).read_text().splitlines()
+        t1 = (out1 / name).read_text()
+        t8 = (out8 / name).read_text()
+        l1, l8 = t1.splitlines(), t8.splitlines()
         assert len(l1) == len(l8), name
+        # atol scales with the file's field magnitude: near-zero residue
+        # values are pure roundoff noise
+        scale = max(abs(float(x)) for x in float_re.findall(t1))
         for a, b in zip(l1, l8):
             if a == b:
                 continue
@@ -131,7 +135,8 @@ def test_run_devices_vtk_identical(tmp_path):
             assert float_re.sub("F", a) == float_re.sub("F", b), (name, a, b)
             va = np.array([float(x) for x in fa])
             vb = np.array([float(x) for x in fb])
-            np.testing.assert_allclose(va, vb, rtol=1e-6, atol=1e-9,
+            np.testing.assert_allclose(va, vb, rtol=1e-6,
+                                       atol=1e-6 * scale,
                                        err_msg=f"{name}: {a} vs {b}")
 
 
