@@ -40,12 +40,14 @@ def main(argv=None):
     ap.add_argument("--devices", type=int, default=None,
                     help="element-shard the run over this many devices "
                          "(jax.sharding.Mesh; frames match a "
-                         "single-device run byte-for-byte at VTK "
-                         "ASCII precision)")
+                         "single-device run: structure byte-identical, "
+                         "float fields to ~1e-6 relative / last printed "
+                         "digit)")
     ap.add_argument("--halo", type=int, default=None,
                     help="node-sharded halo-exchange decomposition over "
-                         "this many devices (contactless decks; pod-scale "
-                         "path, only halo rows ride the interconnect)")
+                         "this many devices (pod-scale path: halo rows "
+                         "plus the compact contact-node block ride the "
+                         "interconnect)")
     args = ap.parse_args(argv)
 
     from .config import ContactConfig, SolverConfig
@@ -56,8 +58,12 @@ def main(argv=None):
         output_num=args.output_num,
         node_pad=(args.node_pad if not args.halo
                   else max(args.node_pad, 8) * args.halo),
+        # per-shard plans need Es = E/devices to be a multiple of 16 (the
+        # assembly plan's source 8*Es must be a multiple of 128); elem_pad=8
+        # would silently drop the whole multi-chip path to the 3-5x-slower
+        # XLA-gather fallback
         elem_pad=(args.elem_pad if not args.devices
-                  else max(args.elem_pad, 8) * args.devices),
+                  else max(args.elem_pad, 16) * args.devices),
         contact=ContactConfig(kc=args.kc, kc_self=args.kc, myu=args.myu),
         renumber=("always" if args.halo else "auto"),
         metrics_path=args.metrics,

@@ -757,9 +757,11 @@ def plan_sharded_gather(indices_per_shard, source_len: int,
                                     min_m_w_rows=min_mw)
                 for d in range(S)]
 
+    if len({len(np.ravel(ix)) for ix in indices_per_shard}) != 1:
+        raise ValueError("per-shard index lists must have equal length")
+
     plans = plan_all(1, 0, subgroups)
-    uniform_ok = (all(p.ok for p in plans)
-                  and len({p.r for p in plans}) == 1)
+    uniform_ok = all(p.ok for p in plans)
     if uniform_ok:
         sg = min(p.sg for p in plans)         # any sg=1 fallback wins
         plans = plan_all(max(p.w_rows for p in plans),
@@ -767,6 +769,18 @@ def plan_sharded_gather(indices_per_shard, source_len: int,
         uniform_ok = (all(p.ok for p in plans)
                       and len({(p.r, p.r_pad, p.w_rows, p.m_w_rows, p.sg,
                                 p.n_tiles) for p in plans}) == 1)
+    if not uniform_ok:
+        # XLA-gather fallback across all shards.  The stacked index arrays
+        # must still share one shape: re-plan every shard with sg=1 (no
+        # merge padding, so r_pad is uniform given equal r) and forced
+        # max window rows — per-shard sg/merge divergence (e.g. one shard's
+        # subgroup merge falling back while another keeps sg=4) must not
+        # turn into a lowering-time stack error on the --devices path.
+        import logging
+        logging.getLogger(__name__).warning(
+            "plan_sharded_gather: non-uniform per-shard plans; multi-chip "
+            "path will use the XLA-gather fallback (3-5x slower)")
+        plans = plan_all(max(p.w_rows for p in plans), 0, 1)
 
     def stack(field):
         vals = [getattr(p, field) for p in plans]

@@ -157,9 +157,13 @@ def _assemble_scatter(elem: jnp.ndarray, Qe: jnp.ndarray, N: int):
     return jnp.zeros((3, N), Qe.dtype).at[:, elem].add(Qe)
 
 
-def _sharded_integrate(lm: LoweredModel, state: SimState):
+def _sharded_integrate(lm: LoweredModel, state: SimState, flag_g=None):
     """Contact (on all-gathered life masks) + central difference + BCs.
-    Mirrors solver.explicit._integrate under shard_map."""
+    Mirrors solver.explicit._integrate under shard_map.
+
+    ``flag_g`` (global element life mask) can be precomputed by the caller:
+    flags change only on erosion, so erosion-free decks hoist the all_gather
+    out of the chunk loop instead of paying it every step."""
     dt = jnp.asarray(lm.dt, lm.dtype)
     t = state.t + 1
     current_time = t.astype(lm.dtype) * dt
@@ -168,7 +172,8 @@ def _sharded_integrate(lm: LoweredModel, state: SimState):
     external = jnp.zeros_like(state.disp)
     cforce = state.contact_force
     if lm.pairs:
-        flag_g = jax.lax.all_gather(state.element_flag, "dp", tiled=True)
+        if flag_g is None:
+            flag_g = jax.lax.all_gather(state.element_flag, "dp", tiled=True)
         # contact_forces reads element_flag and disp/velo from a state view;
         # the narrow phase is partitioned round-robin over 'dp'
         gstate = state.replace(element_flag=flag_g)
@@ -203,11 +208,11 @@ def _sharded_assemble(lm: LoweredModel, Qe: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.psum(Q_local, "dp")
 
 
-def _sharded_step(lm: LoweredModel, state: SimState) -> SimState:
+def _sharded_step(lm: LoweredModel, state: SimState, flag_g=None) -> SimState:
     """One generic time step on local shards; runs inside shard_map.
     ``lm`` is the device-local model view (element fields are local
     slices, plans already through plan_local)."""
-    t, disp_new, velo, cforce = _sharded_integrate(lm, state)
+    t, disp_new, velo, cforce = _sharded_integrate(lm, state, flag_g)
     d_disp = disp_new - state.disp
     position = lm.coord + disp_new
 
@@ -232,7 +237,7 @@ def _sharded_step(lm: LoweredModel, state: SimState) -> SimState:
 
 
 def _sharded_step_fast(lm: LoweredModel, state: SimState, disp_e_prev,
-                       stress_c, strain_c):
+                       stress_c, strain_c, flag_g=None):
     """disp_e-carry fast step under shard_map — same formulation as
     solver.explicit.step_fast (3-channel gather of only the new
     displacement, stress/strain carried as 6-component tuples), so sharded
@@ -242,7 +247,7 @@ def _sharded_step_fast(lm: LoweredModel, state: SimState, disp_e_prev,
     from ..ops.erosion import erosion_delete_mask
 
     edt = lm.edtype
-    t, disp_new, velo, cforce = _sharded_integrate(lm, state)
+    t, disp_new, velo, cforce = _sharded_integrate(lm, state, flag_g)
     disp_e = gather_disp_e(lm, disp_new)
     pos_e = lm.coord_e + (disp_e - disp_e[:, 0:1, :]).astype(edt)
     du_e = (disp_e - disp_e_prev).astype(edt)
@@ -283,6 +288,11 @@ def make_sharded_step(model: LoweredModel, mesh: Mesh, n_steps: int = 1):
 
     def body(m, s):
         lm = _local_model(m)
+        # erosion-free decks: the global life mask is constant, so the
+        # contact-path all_gather hoists out of the chunk loop
+        flag_g0 = None
+        if lm.pairs and not lm.fracture_enabled:
+            flag_g0 = jax.lax.all_gather(s.element_flag, "dp", tiled=True)
         if lm.coord_e is not None:
             # disp_e-carry fast chunk path (mirrors solver run_chunk)
             from ..ops.element import gather_disp_e
@@ -295,13 +305,13 @@ def make_sharded_step(model: LoweredModel, mesh: Mesh, n_steps: int = 1):
 
             def stepb(_, carry):
                 st, de, sc, ec = carry
-                return _sharded_step_fast(lm, st, de, sc, ec)
+                return _sharded_step_fast(lm, st, de, sc, ec, flag_g0)
 
             out, _, s_c, e_c = jax.lax.fori_loop(
                 0, n_steps, stepb, (s0, disp_e0, stress_c0, strain_c0))
             return out.replace(stress=jnp.stack(s_c), strain=jnp.stack(e_c))
-        return jax.lax.fori_loop(0, n_steps,
-                                 lambda _, t: _sharded_step(lm, t), s)
+        return jax.lax.fori_loop(
+            0, n_steps, lambda _, t: _sharded_step(lm, t, flag_g0), s)
 
     # check_vma=False: contact's lax.cond mixes device-varying (gathered
     # element flags) and invariant operands; correctness of replication is

@@ -6,7 +6,12 @@ the config flag before any JAX usage.
 import os
 import sys
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# APPEND (not setdefault): if the environment already sets XLA_FLAGS the
+# 8-device virtual mesh must still materialize, otherwise every sharding/halo
+# test silently skips and a green suite stops meaning "multi-device ran".
+_flag = "--xla_force_host_platform_device_count=8"
+if _flag not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + _flag).strip()
 
 import jax  # noqa: E402
 
