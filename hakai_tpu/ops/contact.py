@@ -363,6 +363,22 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
                         lambda _: jnp.zeros((3, N), dt), None)
 
 
+def contact_forces_pv(model: LoweredModel, position, velo, element_flag,
+                      axis_name=None) -> jnp.ndarray:
+    """Sum of all directional contact-pair forces from explicit kinematics
+    ((3, N) position/velocity in edtype and the (E,) global life mask).
+
+    Callers that own only part of the node state (parallel/halo.py) build
+    ``position``/``velo`` arrays that are valid at the contact-relevant
+    nodes only — every read in the pair force touches cand/tri/jnode ids
+    exclusively, so garbage elsewhere is never observed."""
+    total = jnp.zeros_like(position)
+    for pair in model.pairs:
+        total = total + _pair_force(model, pair, position, velo,
+                                    element_flag, axis_name)
+    return total.astype(model.dtype)
+
+
 def contact_forces(model: LoweredModel, state, axis_name=None) -> jnp.ndarray:
     """Sum of all directional contact-pair forces, (3, N) in the kinematic
     dtype (narrow phase runs in edtype — f32 in mixed mode).
@@ -374,8 +390,5 @@ def contact_forces(model: LoweredModel, state, axis_name=None) -> jnp.ndarray:
     edt = model.edtype
     position = (model.coord + state.disp).astype(edt)
     velo = state.velo.astype(edt)
-    total = jnp.zeros_like(position)
-    for pair in model.pairs:
-        total = total + _pair_force(model, pair, position, velo,
-                                    state.element_flag, axis_name)
-    return total.astype(model.dtype)
+    return contact_forces_pv(model, position, velo, state.element_flag,
+                             axis_name)

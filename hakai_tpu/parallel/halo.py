@@ -16,13 +16,15 @@ long-context row):
     (``lax.ppermute`` over the ring), runs the element kernel on the local
     window, and sends ghost-row force contributions back to their owners —
     two H-row exchanges per step instead of an N-row all-reduce;
-  * the node integrator runs on owned rows only.
-
-Contact is not routed through this path (parallel/sharding.py — the
-product multi-chip path reachable via run(devices=N)/CLI --devices —
-handles contact with a round-robin-partitioned narrow phase); the halo
-step asserts the model has no contact pairs and remains the pod-scale
-building block for contactless meshes beyond ~1M nodes.
+  * the node integrator runs on owned rows only;
+  * the element hot loop uses the same per-shard Pallas gather plans and
+    disp_e-carry formulation as the single-chip fast path (window-local
+    plans built at partition time);
+  * contact (HAKAI_j.jl:2248-2706) exchanges only the *contact-relevant*
+    node rows: the static union of every pair's candidate/triangle/surface
+    node ids is all-gathered as a compact (6, Ncs)-per-shard block — an
+    O(surface) exchange, not O(N) — and the narrow phase is partitioned
+    round-robin over the mesh axis exactly as parallel/sharding.py does.
 """
 from __future__ import annotations
 
@@ -34,11 +36,19 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.lowering import LoweredModel
+from ..core.lowering import LoweredModel, _dup_lanes
 from ..core.state import SimState
-from ..ops.element import element_update, triax_stress
-from ..ops.erosion import erode
+from ..ops.contact import contact_forces_pv
+from ..ops.element import (assemble_internal_force, element_update,
+                           element_core_c, gather_disp_e, triax_components,
+                           triax_stress)
+from ..ops.erosion import erode, erosion_delete_mask
+from ..ops.gather_pallas import plan_local, plan_sharded_gather
 from ..solver.explicit import amplitude_values
+
+# fields that stay replicated across the mesh (static index maps every
+# device needs in full, e.g. to rebuild global views from all_gathers)
+_REPL_FIELDS = ("cn_inv", "eg_inv")
 
 
 @jax.tree_util.register_dataclass
@@ -53,6 +63,7 @@ class HaloModel:
     No: int = dataclasses.field(metadata=dict(static=True), default=0)  # owned nodes/shard
     H: int = dataclasses.field(metadata=dict(static=True), default=0)   # halo rows
     El: int = dataclasses.field(metadata=dict(static=True), default=0)  # elems/shard
+    h_asm_vl: int = dataclasses.field(metadata=dict(static=True), default=0)
     base: LoweredModel = None          # original (arrays unused in hot loop)
 
     elem_w: jnp.ndarray = None         # (S, 8, El) window-local node ids
@@ -70,6 +81,16 @@ class HaloModel:
     bc_value: jnp.ndarray = None       # (S, 3, No)
     bc_amp: jnp.ndarray = None         # (S, 3, No) int32 amplitude id (-1 none)
     velo0: jnp.ndarray = None          # (S, 3, No)
+    # --- element fast path (window-local Pallas plans; None = generic) ---
+    coord_e: jnp.ndarray = None        # (S, 3, 8, El) centered on node 0
+    h_plan_pos: object = None          # stacked per-shard (3,W)->(3,8El) plan
+    h_plan_asm: object = None          # stacked per-shard assembly-lane plan
+    h_asm_mask: jnp.ndarray = None     # (S, VL, W) bool
+    # --- contact: compact exchange of contact-relevant node rows ---
+    cn_local: jnp.ndarray = None       # (S, Ncs) int32 owned-row id (0 pad)
+    cn_mask: jnp.ndarray = None        # (S, Ncs) bool
+    cn_inv: jnp.ndarray = None         # (N,) int32 -> slot in (S*Ncs) (+pad)
+    eg_inv: jnp.ndarray = None         # (E,) int32 -> slot in (S*El) (+pad)
 
 
 @jax.tree_util.register_dataclass
@@ -91,11 +112,12 @@ class HaloState:
         return dataclasses.replace(self, **kw)
 
 
+def _round_up(x: int, m: int) -> int:
+    return int(-(-x // m) * m)
+
+
 def partition(model: LoweredModel, n_shards: int) -> HaloModel:
     """Numpy lowering of a LoweredModel into shard-major halo arrays."""
-    if model.pairs:
-        raise ValueError("halo path does not support contact yet; "
-                         "use parallel.sharding")
     N, E = model.N, model.E
     if N % n_shards:
         raise ValueError(f"padded node count {N} not divisible by {n_shards}")
@@ -129,7 +151,24 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
                          "mesh ordering too scattered for halo decomposition")
     H = max(H, 1)
 
+    # --- window-local Pallas plans (the element hot loop's gathers).
+    # Constraints: gather-plan tiles must not straddle index segments, so
+    # El must be a tile multiple (slot-major element gather) and the window
+    # W = No + 2H a tile multiple (lane-major assembly gather).
+    tile = 2048
+    use_plans = (model.plan_pos is not None and El >= tile // 2
+                 and model.config.gather_mode != "xla")
+    if use_plans:
+        El = _round_up(El, tile)
+        rem = (No + 2 * H) % tile
+        H2 = H + (tile - rem) // 2 if rem else H
+        if H2 > No:
+            use_plans = False       # window padding would pass shard size
+        else:
+            H = H2
+
     S = n_shards
+    W = No + 2 * H
     elem_w = np.zeros((S, 8, El), np.int64)
     elem_gid = np.full((S, El), -1, np.int64)
     alive0 = np.zeros((S, El), bool)
@@ -140,7 +179,6 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
     g_G = np.asarray(model.G_e)
     g_lam = np.asarray(model.lam_e)
     g_y0 = np.asarray(model.yield0_e)
-    g_hp = np.asarray(model.has_plastic_e)
     for d, ids in enumerate(shard_elems):
         k = len(ids)
         if k == 0:
@@ -155,7 +193,7 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
         fields["G_e"][d, :k] = g_G[ids]
         fields["lam_e"][d, :k] = g_lam[ids]
         fields["yield0_e"][d, :k] = g_y0[ids]
-        hasp[d, :k] = g_hp[ids]
+        hasp[d, :k] = np.asarray(model.has_plastic_e)[ids]
 
     def shard_nodes(a):     # (..., N) -> (S, ..., No)
         a = np.asarray(a)
@@ -174,17 +212,91 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
             bc_value[a, nd] = float(model.bc_value[k])
             bc_amp[a, nd] = int(model.bc_amp[k])
 
+    # --- per-shard window plans (fast path) ---
+    coord_np = np.asarray(model.coord)
+    coord_e_s = h_plan_pos = h_plan_asm = h_asm_mask_j = None
+    h_asm_vl = 0
+    if use_plans:
+        idx_list, val_list = [], []
+        lanes_per_shard = []
+        for d in range(S):
+            idx_list.append(elem_w[d].reshape(-1))
+            val_list.append(np.tile(alive0[d], 8))
+            al = alive0[d]
+            tgt = elem_w[d][:, al].reshape(-1)
+            src = (np.arange(8)[:, None] * El
+                   + np.nonzero(al)[0][None, :]).reshape(-1)
+            lanes_per_shard.append(_dup_lanes(tgt, src, W))
+        h_plan_pos = plan_sharded_gather(idx_list, W, valid_per_shard=val_list)
+        h_asm_vl = max((len(ls) for ls in lanes_per_shard), default=1)
+        h_asm_vl = max(h_asm_vl, 1)
+        asm_idx, asm_val, asm_mask_s = [], [], []
+        for ls in lanes_per_shard:
+            li = [l[0] for l in ls] + [np.zeros(W, np.int64)] * (h_asm_vl - len(ls))
+            lm = [l[1] for l in ls] + [np.zeros(W, bool)] * (h_asm_vl - len(ls))
+            asm_idx.append(np.concatenate(li))
+            asm_val.append(np.concatenate(lm))
+            asm_mask_s.append(np.stack(lm))
+        h_plan_asm = plan_sharded_gather(asm_idx, 8 * El,
+                                         valid_per_shard=asm_val)
+        h_asm_mask_j = jnp.asarray(np.stack(asm_mask_s))
+        # centered element-node coordinates for the disp_e-carry fast path
+        ce = np.zeros((S, 3, 8, El))
+        for d, ids in enumerate(shard_elems):
+            k = len(ids)
+            if k == 0:
+                continue
+            ep = coord_np[:, elem[:, ids]]
+            ce[d, :, :, :k] = ep - ep[:, 0][:, None, :]
+        coord_e_s = jnp.asarray(ce, model.edtype)
+
+    # --- contact: static compact exchange sets ---
+    cn_local = cn_mask_j = cn_inv = eg_inv = None
+    if model.pairs:
+        parts = []
+        for p in model.pairs:
+            parts.append(np.asarray(p.tri_nodes).reshape(-1))
+            parts.append(np.asarray(p.cand_nodes))
+            parts.append(np.asarray(p.jnode_nodes))
+        cnodes = np.unique(np.concatenate(parts))
+        cnodes = cnodes[(cnodes >= 0) & (cnodes < N)]
+        Ncs = 0
+        per_shard = []
+        for d in range(S):
+            own = cnodes[(cnodes >= d * No) & (cnodes < (d + 1) * No)]
+            per_shard.append(own)
+            Ncs = max(Ncs, len(own))
+        Ncs = max(_round_up(Ncs, 8), 8)
+        cn_local_a = np.zeros((S, Ncs), np.int64)
+        cn_mask_a = np.zeros((S, Ncs), bool)
+        cn_inv_a = np.full(N, S * Ncs, np.int64)    # pad slot -> zero column
+        for d, own in enumerate(per_shard):
+            k = len(own)
+            cn_local_a[d, :k] = own - d * No
+            cn_mask_a[d, :k] = True
+            cn_inv_a[own] = d * Ncs + np.arange(k)
+        cn_local = jnp.asarray(cn_local_a, jnp.int32)
+        cn_mask_j = jnp.asarray(cn_mask_a)
+        cn_inv = jnp.asarray(cn_inv_a, jnp.int32)
+        # global element id -> flat (shard, slot) for the life-mask rebuild
+        eg_inv_a = np.full(E, S * El, np.int64)
+        for d in range(S):
+            ids = elem_gid[d]
+            real = ids >= 0
+            eg_inv_a[ids[real]] = d * El + np.nonzero(real)[0]
+        eg_inv = jnp.asarray(eg_inv_a, jnp.int32)
+
     dtype = model.dtype
     return HaloModel(
-        n_shards=S, No=No, H=int(H), El=El, base=model,
+        n_shards=S, No=No, H=int(H), El=El, h_asm_vl=h_asm_vl, base=model,
         elem_w=jnp.asarray(elem_w, jnp.int32),
         elem_gid=jnp.asarray(elem_gid, jnp.int32),
         elem_alive0=jnp.asarray(alive0),
         mat_id=jnp.asarray(mat_id, jnp.int32),
-        G_e=jnp.asarray(fields["G_e"], dtype),
-        lam_e=jnp.asarray(fields["lam_e"], dtype),
+        G_e=jnp.asarray(fields["G_e"], model.edtype),
+        lam_e=jnp.asarray(fields["lam_e"], model.edtype),
         has_plastic_e=jnp.asarray(hasp),
-        yield0_e=jnp.asarray(fields["yield0_e"], dtype),
+        yield0_e=jnp.asarray(fields["yield0_e"], model.edtype),
         diag_M=jnp.asarray(shard_nodes(np.asarray(model.diag_M)), dtype),
         coord=jnp.asarray(shard_nodes(np.asarray(model.coord)), dtype),
         node_exists=jnp.asarray(shard_nodes(np.asarray(model.node_exists))),
@@ -192,6 +304,10 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
         bc_value=jnp.asarray(shard_nodes(bc_value), dtype),
         bc_amp=jnp.asarray(shard_nodes(bc_amp), jnp.int32),
         velo0=jnp.asarray(shard_nodes(np.asarray(model.velo0)), dtype),
+        coord_e=coord_e_s, h_plan_pos=h_plan_pos, h_plan_asm=h_plan_asm,
+        h_asm_mask=h_asm_mask_j,
+        cn_local=cn_local, cn_mask=cn_mask_j, cn_inv=cn_inv,
+        eg_inv=eg_inv,
     )
 
 
@@ -199,16 +315,49 @@ def init_halo_state(hm: HaloModel) -> HaloState:
     dt = hm.base.dtype
     S, No, El = hm.n_shards, hm.No, hm.El
     z3 = jnp.zeros((S, 3, No), dt)
+    edt = hm.base.edtype
     return HaloState(
         t=jnp.zeros((), jnp.int32),
         disp=z3, disp_pre=-hm.velo0 * jnp.asarray(hm.base.dt, dt),
         velo=hm.velo0, Q=z3,
-        stress=jnp.zeros((S, 6, 8, El), dt),
-        strain=jnp.zeros((S, 6, 8, El), dt),
-        eq_ps=jnp.zeros((S, 8, El), dt),
-        yield_s=jnp.broadcast_to(hm.yield0_e[:, None], (S, 8, El)).astype(dt),
-        triax=jnp.zeros((S, 8, El), dt),
+        stress=jnp.zeros((S, 6, 8, El), edt),
+        strain=jnp.zeros((S, 6, 8, El), edt),
+        eq_ps=jnp.zeros((S, 8, El), edt),
+        yield_s=jnp.broadcast_to(hm.yield0_e[:, None], (S, 8, El)).astype(edt),
+        triax=jnp.zeros((S, 8, El), edt),
         element_flag=hm.elem_alive0,
+    )
+
+
+def partition_state(hm: HaloModel, state: SimState) -> HaloState:
+    """Scatter a single-chip SimState into halo shards (checkpoint resume)."""
+    S, No, El = hm.n_shards, hm.No, hm.El
+    gid = np.asarray(hm.elem_gid)                  # (S, El)
+    valid = gid >= 0
+
+    def split_nodes(a):
+        a = np.asarray(a)
+        return jnp.asarray(np.ascontiguousarray(np.moveaxis(
+            a.reshape(a.shape[:-1] + (S, No)), -2, 0)))
+
+    def split_elems(a, fill=0.0):
+        a = np.asarray(a)
+        out = np.full((S,) + a.shape[:-1] + (El,), fill, a.dtype)
+        mv = np.moveaxis(out, 0, -2)               # view (..., S, El)
+        mv[..., valid] = a[..., gid[valid]]
+        return jnp.asarray(out)
+
+    edt = hm.base.edtype
+    return HaloState(
+        t=jnp.asarray(state.t),
+        disp=split_nodes(state.disp), disp_pre=split_nodes(state.disp_pre),
+        velo=split_nodes(state.velo), Q=split_nodes(state.Q),
+        stress=split_elems(state.stress).astype(edt),
+        strain=split_elems(state.strain).astype(edt),
+        eq_ps=split_elems(state.eq_ps).astype(edt),
+        yield_s=split_elems(state.yield_s).astype(edt),
+        triax=split_elems(state.triax).astype(edt),
+        element_flag=split_elems(np.asarray(state.element_flag), fill=False),
     )
 
 
@@ -242,26 +391,115 @@ def _return_ghosts(fw, H):
     return own
 
 
-def _halo_step(hm: HaloModel, s: HaloState) -> HaloState:
+def _global_flags(hm: HaloModel, flag_local):
+    """(El,) local life mask -> (E,) global via all_gather + static inverse
+    gather (no scatter; pad elements read a False sentinel column)."""
+    base = hm.base
+    fl = jax.lax.all_gather(flag_local, "dp")            # (S, El)
+    ext = jnp.concatenate([fl.reshape(-1),
+                           jnp.zeros((1,), fl.dtype)])   # + False pad slot
+    return ext[hm.eg_inv].astype(bool)
+
+
+def _halo_contact(hm: HaloModel, s: HaloState, flag_g):
+    """Contact force on owned rows: all-gather the compact contact-node
+    kinematics, rebuild sparse (3, N) views (valid at contact nodes only —
+    the narrow phase reads nothing else), run the round-robin-partitioned
+    narrow phase (ops/contact.py, axis_name='dp'), slice the owned rows."""
+    base = hm.base
+    edt = base.edtype
+    pos_own = (hm.coord + s.disp).astype(edt)
+    vel_own = s.velo.astype(edt)
+    pv = jnp.concatenate([pos_own, vel_own], axis=0)     # (6, No)
+    pvc = jnp.where(hm.cn_mask[None], pv[:, hm.cn_local], 0.0)   # (6, Ncs)
+    pv_all = jax.lax.all_gather(pvc, "dp")               # (S, 6, Ncs)
+    flat = jnp.moveaxis(pv_all, 0, 1).reshape(6, -1)     # (6, S*Ncs)
+    flat = jnp.concatenate([flat, jnp.zeros((6, 1), edt)], axis=1)
+    full = flat[:, hm.cn_inv]                            # (6, N) sparse-valid
+    cf = contact_forces_pv(base, full[:3], full[3:], flag_g, axis_name="dp")
+    d = jax.lax.axis_index("dp")
+    return jax.lax.dynamic_slice(cf, (jnp.int32(0), d * hm.No), (3, hm.No))
+
+
+def _halo_integrate(hm: HaloModel, s: HaloState, flag_g=None):
+    """Contact + central difference + BCs on owned rows.
+    Returns (t, disp_new, velo)."""
     base = hm.base
     dt = jnp.asarray(base.dt, base.dtype)
-    H = hm.H
     t = s.t + 1
     ct = t.astype(base.dtype) * dt
 
+    external = jnp.zeros_like(s.disp)
+    if base.pairs:
+        if flag_g is None:
+            flag_g = _global_flags(hm, s.element_flag)
+        external = external + _halo_contact(hm, s, flag_g).astype(base.dtype)
+
     a1 = hm.diag_M / dt**2
     a2 = hm.diag_M * base.config.damping_C / (2.0 * dt)
-    disp_new = (-s.Q + a1 * (2.0 * s.disp - s.disp_pre)
+    disp_new = (external - s.Q + a1 * (2.0 * s.disp - s.disp_pre)
                 + a2 * s.disp_pre) / (a1 + a2)
     ampv = amplitude_values(base, ct)
     fac = jnp.where(hm.bc_amp >= 0, ampv[jnp.clip(hm.bc_amp, 0, None)], 1.0)
     disp_new = jnp.where(hm.bc_mask, hm.bc_value * fac, disp_new)
     disp_new = jnp.where(hm.node_exists, disp_new, 0.0)
+    velo = (disp_new - s.disp) / dt
+    return t, disp_new, velo
+
+
+def _local_fast_model(hm: HaloModel) -> LoweredModel:
+    """Window-local LoweredModel view for the fast path inside shard_map
+    (``hm``'s plan fields must already be device-local; N/E are rebound to
+    the window size / per-shard element count)."""
+    W = hm.No + 2 * hm.H
+    return dataclasses.replace(
+        hm.base, N=W, E=hm.El, elem=hm.elem_w, mat_id=hm.mat_id,
+        G_e=hm.G_e, lam_e=hm.lam_e, has_plastic_e=hm.has_plastic_e,
+        yield0_e=hm.yield0_e,
+        plan_pos=hm.h_plan_pos, plan_asm=hm.h_plan_asm,
+        asm_mask=hm.h_asm_mask, asm_vl=hm.h_asm_vl,
+        coord_e=None, inc_idx=None, inc_mask=None, pairs=())
+
+
+def _halo_step_fast(hm: HaloModel, lm: LoweredModel, s: HaloState,
+                    disp_e_prev, stress_c, strain_c, flag_g):
+    """disp_e-carry step on the window — structurally identical to the
+    single-chip fast path (solver.explicit.step_fast): only the new
+    displacement window is gathered (3 channels), stress/strain travel as
+    6-component tuples, and the assembly runs through the per-shard lane
+    plan instead of an XLA scatter."""
+    base = hm.base
+    edt = base.edtype
+    H = hm.H
+    t, disp_new, velo = _halo_integrate(hm, s, flag_g)
+    disp_w = _exchange_window(disp_new, H)               # (3, W)
+    disp_e = gather_disp_e(lm, disp_w)                   # (3, 8, El)
+    pos_e = hm.coord_e + (disp_e - disp_e[:, 0:1, :]).astype(edt)
+    du_e = (disp_e - disp_e_prev).astype(edt)
+    qe, s_c, e_c, eq, y = element_core_c(
+        lm, pos_e, du_e, stress_c, strain_c, s.eq_ps, s.yield_s,
+        s.element_flag)
+    fw = assemble_internal_force(lm, qe).astype(base.dtype)   # (3, W)
+    Q = _return_ghosts(fw, H)
+    triax = triax_components(s_c)
+    flag = s.element_flag
+    if base.fracture_enabled:
+        flag, delete = erosion_delete_mask(lm, eq, triax, flag)
+        keep = ~delete[None, :]
+        s_c = [jnp.where(keep, x, 0.0) for x in s_c]
+        e_c = [jnp.where(keep, x, 0.0) for x in e_c]
+    new = s.replace(t=t, disp=disp_new, disp_pre=s.disp, velo=velo, Q=Q,
+                    eq_ps=eq, yield_s=y, triax=triax, element_flag=flag)
+    return new, disp_e, tuple(s_c), tuple(e_c), flag
+
+
+def _halo_step(hm: HaloModel, s: HaloState, flag_g=None) -> HaloState:
+    base = hm.base
+    H = hm.H
+    t, disp_new, velo = _halo_integrate(hm, s, flag_g)
 
     d_disp = disp_new - s.disp
-    velo = d_disp / dt
     position = hm.coord + disp_new
-
     pos_w = _exchange_window(position, H)
     dd_w = _exchange_window(d_disp, H)
 
@@ -269,11 +507,13 @@ def _halo_step(hm: HaloModel, s: HaloState) -> HaloState:
     lm = dataclasses.replace(
         base, elem=hm.elem_w, mat_id=hm.mat_id, G_e=hm.G_e, lam_e=hm.lam_e,
         has_plastic_e=hm.has_plastic_e, yield0_e=hm.yield0_e,
-        plan_pos=None, plan_asm=None, asm_mask=None, asm_vl=0)
-    res = element_update(lm, pos_w, dd_w, s.stress, s.strain, s.eq_ps,
-                         s.yield_s, s.element_flag)
+        plan_pos=None, plan_asm=None, asm_mask=None, asm_vl=0, pairs=())
+    edt = base.edtype
+    res = element_update(lm, pos_w.astype(edt), dd_w.astype(edt), s.stress,
+                         s.strain, s.eq_ps, s.yield_s, s.element_flag)
     W = hm.No + 2 * H
-    fw = jnp.zeros((3, W), base.dtype).at[:, hm.elem_w].add(res.Qe)
+    fw = jnp.zeros((3, W), base.dtype).at[:, hm.elem_w].add(
+        res.Qe.astype(base.dtype))
     Q = _return_ghosts(fw, H)
 
     triax = triax_stress(res.stress)
@@ -293,33 +533,88 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
     if mesh.devices.size != S:
         raise ValueError("mesh size must equal n_shards")
 
-    def spec_of(rank):
-        return P(*(["dp"] + [None] * (rank - 1)))
+    def spec_of(name, v):
+        if name in _REPL_FIELDS:
+            return P(*([None] * np.ndim(v)))
+        return P(*(["dp"] + [None] * (np.ndim(v) - 1)))
 
     mspec = dataclasses.replace(
         hm,
         base=jax.tree_util.tree_map(lambda _: P(), hm.base),
-        **{f.name: spec_of(np.ndim(getattr(hm, f.name)))
+        h_plan_pos=(jax.tree_util.tree_map(lambda _: P("dp"), hm.h_plan_pos)
+                    if hm.h_plan_pos is not None else None),
+        h_plan_asm=(jax.tree_util.tree_map(lambda _: P("dp"), hm.h_plan_asm)
+                    if hm.h_plan_asm is not None else None),
+        **{f.name: spec_of(f.name, getattr(hm, f.name))
            for f in dataclasses.fields(hm)
-           if f.name != "base" and not f.metadata.get("static")})
+           if f.name not in ("base", "h_plan_pos", "h_plan_asm")
+           and not f.metadata.get("static")
+           and getattr(hm, f.name) is not None})
     sspec = HaloState(
-        t=P(), **{f.name: spec_of(np.ndim(getattr(init_halo_state(hm),
-                                                  f.name)))
+        t=P(), **{f.name: spec_of("", getattr(init_halo_state(hm), f.name))
                   for f in dataclasses.fields(HaloState) if f.name != "t"})
 
     def body(m, st):
-        # strip the leading shard axis (size 1 per device) inside shard_map
+        # strip the leading shard axis (size 1 per device) inside shard_map;
+        # replicated fields keep their full shape
         def unlead(x):
             return x[0] if hasattr(x, "shape") and x.ndim >= 1 else x
         mm = dataclasses.replace(
-            m, **{f.name: unlead(getattr(m, f.name))
-                  for f in dataclasses.fields(m)
-                  if f.name != "base" and not f.metadata.get("static")})
+            m,
+            h_plan_pos=(plan_local(m.h_plan_pos)
+                        if m.h_plan_pos is not None else None),
+            h_plan_asm=(plan_local(m.h_plan_asm)
+                        if m.h_plan_asm is not None else None),
+            **{f.name: unlead(getattr(m, f.name))
+               for f in dataclasses.fields(m)
+               if f.name not in ("base", "h_plan_pos", "h_plan_asm")
+               and f.name not in _REPL_FIELDS
+               and not f.metadata.get("static")})
         stt = HaloState(t=st.t, **{f.name: unlead(getattr(st, f.name))
                                    for f in dataclasses.fields(HaloState)
                                    if f.name != "t"})
-        out = jax.lax.fori_loop(0, n_steps, lambda _, x: _halo_step(mm, x),
-                                stt)
+        # contact life mask: constant across the chunk on erosion-free decks
+        flag_g0 = None
+        if mm.base.pairs and not mm.base.fracture_enabled:
+            flag_g0 = _global_flags(mm, stt.element_flag)
+
+        carry_fg = bool(mm.base.pairs) and mm.base.fracture_enabled
+        if mm.h_plan_pos is not None and mm.coord_e is not None:
+            # fast path: mm's plans are already device-local; hand a
+            # window-local model view to the element kernels
+            lmw = _local_fast_model(mm)
+            disp_w0 = _exchange_window(stt.disp, mm.H)
+            disp_e0 = gather_disp_e(lmw, disp_w0)
+            sc0 = tuple(stt.stress[c] for c in range(6))
+            ec0 = tuple(stt.strain[c] for c in range(6))
+            dummy = jnp.zeros((0,), stt.stress.dtype)
+            s0 = stt.replace(stress=dummy, strain=dummy)
+
+            def stepb(_, carry):
+                st_c, de, sc, ec, fg = carry
+                fg_use = fg if carry_fg else flag_g0
+                new, de2, sc2, ec2, flag = _halo_step_fast(
+                    mm, lmw, st_c, de, sc, ec, fg_use)
+                fg2 = _global_flags(mm, flag) if carry_fg else fg
+                return new, de2, sc2, ec2, fg2
+
+            fg_init = (_global_flags(mm, stt.element_flag) if carry_fg
+                       else jnp.zeros((0,), bool))
+            out, _, sc, ec, _ = jax.lax.fori_loop(
+                0, n_steps, stepb, (s0, disp_e0, sc0, ec0, fg_init))
+            out = out.replace(stress=jnp.stack(sc), strain=jnp.stack(ec))
+        else:
+            if carry_fg:
+                def stepg(_, c):
+                    st_c, fg = c
+                    new = _halo_step(mm, st_c, fg)
+                    return new, _global_flags(mm, new.element_flag)
+                out, _ = jax.lax.fori_loop(
+                    0, n_steps, stepg,
+                    (stt, _global_flags(mm, stt.element_flag)))
+            else:
+                out = jax.lax.fori_loop(
+                    0, n_steps, lambda _, x: _halo_step(mm, x, flag_g0), stt)
         relead = lambda x: x[None] if hasattr(x, "shape") else x
         return HaloState(t=out.t, **{f.name: relead(getattr(out, f.name))
                                      for f in dataclasses.fields(HaloState)

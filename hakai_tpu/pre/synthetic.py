@@ -113,3 +113,43 @@ def impact_model(n=4, v0=100.0, d_time=1e-7, end_time=1e-4) -> Model:
     cube_nodes = np.arange(p1.n_node + 1, p1.n_node + p2.n_node + 1)
     m.ics.append(IC(type="VELOCITY", dof=[cube_nodes * 3], value=[-v0]))
     return m
+
+
+def self_contact_model(n=4, gap=0.05, v0=5.0e4, d_time=3e-8,
+                       end_time=6e-6) -> Model:
+    """Single-instance self-contact: two parallel plates belonging to ONE
+    instance, the upper driven into the lower.  With ``contact_flag=2``
+    (the parser's ``HAKAIoption=self-contact``, readInpFile_j.jl:1046-1060)
+    the lowering forms the single-instance self pair (HAKAI_j.jl:304-312):
+    own-element node exclusion (HAKAI_j.jl:2496-2507), ddiv scale 0.6 and
+    kc_self all exercised."""
+    # the in-plane offset keeps node-on-triangle projections strictly
+    # inside triangles: perfectly aligned grids put every projection on a
+    # triangle edge, where the accept tests (x1>=0, x1+x2<=1) become
+    # roundoff-order-dependent ties between any two implementations
+    c1, e1 = _grid(n, n, 1, 2.0, 2.0, 0.2)
+    c2, e2 = _grid(n, n, 1, 2.0, 2.0, 0.2, origin=(0.13, 0.17, 0.2 + gap))
+    coord = np.concatenate([c1, c2], axis=1)
+    elem = np.concatenate([e1, e2 + c1.shape[1]], axis=1)
+    n_node, n_elem = coord.shape[1], elem.shape[1]
+    mt = steel(plastic=True)
+    part = Part(name="plates", n_node=n_node, coordmat=coord,
+                n_element=n_elem, elementmat=elem,
+                material_name=mt.name, material_id=1)
+    inst = Instance(name="plates-1", part_name="plates", part_id=1,
+                    material_id=1, n_node=n_node, n_element=n_elem)
+    m = Model(parts=[part], instances=[inst], materials=[mt],
+              n_node=n_node, coordmat=coord, n_element=n_elem,
+              elementmat=elem,
+              element_material=np.ones(n_elem, np.int64),
+              element_instance=np.ones(n_elem, np.int64),
+              d_time=d_time, end_time=end_time, contact_flag=2)
+    bottom = np.nonzero(coord[2] == coord[2].min())[0] + 1
+    enc = BC()
+    enc.dof.append(np.concatenate([bottom * 3 - 2, bottom * 3 - 1,
+                                   bottom * 3]))
+    enc.value = [0.0]
+    m.bcs.append(enc)
+    upper = np.nonzero(coord[2] >= 0.2 + gap - 1e-12)[0] + 1
+    m.ics.append(IC(type="VELOCITY", dof=[upper * 3], value=[-v0]))
+    return m

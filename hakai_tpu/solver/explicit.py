@@ -291,11 +291,14 @@ def run(model: LoweredModel, state: SimState | None = None,
     ``devices`` > 1 runs element-sharded over a ``jax.sharding.Mesh`` of
     that many devices (parallel/sharding.py) with per-shard Pallas gather
     plans; the assembly psum is a disjoint lane union (no reduction-order
-    error), so output frames are byte-identical to a single-device run at
-    VTK ASCII precision.  ``halo`` > 1 instead uses the node-sharded
-    halo-exchange decomposition (parallel/halo.py; contactless decks
-    only, no resume) — the pod-scale path where node state is owned by
-    shards and only halo rows ride the interconnect.
+    error), so output frames match a single-device run with byte-identical
+    structure and float fields agreeing to ~1e-6 relative (XLA contracts
+    FMAs shape-dependently, which can flip the last printed ASCII digit —
+    the contract tests/test_sharding.py::test_run_devices_vtk_identical
+    asserts).  ``halo`` > 1 instead uses the node-sharded
+    halo-exchange decomposition (parallel/halo.py) — the pod-scale path
+    where node state is owned by shards and only halo rows (plus the
+    compact contact-node block on contact decks) ride the interconnect.
 
     Returns the final state.
     """
@@ -309,13 +312,14 @@ def run(model: LoweredModel, state: SimState | None = None,
         from functools import partial as _partial
 
         from ..parallel.halo import (gather_state, init_halo_state,
-                                     make_halo_step, partition)
+                                     make_halo_step, partition,
+                                     partition_state)
         from ..parallel.sharding import make_mesh
-        if int(state.t) > 0:
-            raise NotImplementedError("halo resume is not supported")
         hm = partition(model, halo)
         mesh = make_mesh(halo)
-        state = init_halo_state(hm)
+        # checkpoint resume: scatter the restored SimState into shards
+        state = (partition_state(hm, state) if int(state.t) > 0
+                 else init_halo_state(hm))
         steppers = {}
 
         def step_chunk(s, n):

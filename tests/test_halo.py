@@ -88,11 +88,73 @@ def test_halo_with_fracture():
         or float(ref.eq_ps.max()) > 0.0
 
 
-def test_partition_rejects_contact():
-    from hakai_tpu.pre.synthetic import impact_model
-    lm = lower(impact_model(n=2), SolverConfig(node_pad=8))
-    with pytest.raises(ValueError):
-        partition(lm, 2)
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_halo_contact_matches_single_device():
+    """Contact decks run on the halo path: bullet-impact (contact + erosion
+    + surface re-exposure) matches single-device — the compact contact-node
+    exchange + round-robin-partitioned narrow phase at work."""
+    from hakai_tpu.io.inp import read_inp_file
+    from conftest import ref_deck
+
+    m = read_inp_file(ref_deck("bullet-impact.inp"))
+    lm = lower(m, SolverConfig(node_pad=64, elem_pad=8, renumber="always"))
+    assert lm.pairs, "bullet-impact must have contact pairs"
+    n_steps = 1200            # enough to erode elements and re-expose faces
+    ref = run_chunk(lm, init_state(lm), n_steps)
+    assert int(np.asarray(ref.element_flag).sum()) < int(
+        np.asarray(lm.elem_exists).sum())   # erosion actually happened
+    assert bool(np.asarray(jax.numpy.abs(ref.contact_force).sum() > 0))
+
+    hm = partition(lm, 8)
+    stepn = make_halo_step(hm, make_mesh(8), n_steps=n_steps)
+    got = gather_state(hm, stepn(init_halo_state(hm)))
+    assert np.array_equal(np.asarray(got.element_flag),
+                          np.asarray(ref.element_flag))
+    np.testing.assert_allclose(np.asarray(got.disp), np.asarray(ref.disp),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.stress), np.asarray(ref.stress),
+                               rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_halo_fast_path_matches_single_device():
+    """A mesh big enough for window-local gather plans (El >= 1024) takes
+    the disp_e-carry fast path; numerics must match the generic reference.
+    RCM renumbering (what the CLI --halo path always applies) keeps the
+    halo width small enough for the window plans."""
+    from hakai_tpu.pre.synthetic import bar_model
+    m = bar_model(nx=8, ny=8, nz=128, d_time=1e-8, end_time=1.0)
+    lm = lower(m, SolverConfig(node_pad=64, renumber="always"))
+    assert lm.plan_pos is not None
+    ref = run_chunk(lm, init_state(lm), 60)
+    hm = partition(lm, 8)
+    assert hm.h_plan_pos is not None, "fast path must engage at this size"
+    stepn = make_halo_step(hm, make_mesh(8), n_steps=60)
+    got = gather_state(hm, stepn(init_halo_state(hm)))
+    np.testing.assert_allclose(np.asarray(got.disp), np.asarray(ref.disp),
+                               rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(got.stress), np.asarray(ref.stress),
+                               rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_halo_resume_roundtrip():
+    """partition_state(gather_state(s)) continues exactly: 60+30 halo steps
+    through a gather/scatter round trip equal 90 straight halo steps."""
+    from hakai_tpu.parallel.halo import partition_state
+    m = _bar()
+    lm = lower(m, SolverConfig(node_pad=8 * 8, elem_pad=8))
+    hm = partition(lm, 8)
+    mesh = make_mesh(8)
+    s60 = make_halo_step(hm, mesh, n_steps=60)(init_halo_state(hm))
+    resumed = partition_state(hm, gather_state(hm, s60))
+    out_a = make_halo_step(hm, mesh, n_steps=30)(resumed)
+    out_b = make_halo_step(hm, mesh, n_steps=90)(init_halo_state(hm))
+    np.testing.assert_array_equal(np.asarray(out_a.disp),
+                                  np.asarray(out_b.disp))
+    np.testing.assert_array_equal(np.asarray(out_a.stress),
+                                  np.asarray(out_b.stress))
+    assert int(out_a.t) == int(out_b.t) == 90
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

@@ -72,6 +72,35 @@ def test_tensile5e_matches_oracle_2000_steps():
     assert o.eq_ps.max() > 0.01   # plasticity actually exercised
 
 
+def test_self_contact_matches_oracle():
+    """Self-contact path (the reference's hardest contact mode): a single
+    instance whose upper plate is driven into its lower plate.  Exercises
+    the single-instance self pair (HAKAI_j.jl:304-312), own-element node
+    exclusion (:2496-2507), and the 0.6 ddiv scale — with active contact
+    forces, value-diffed against the oracle's transliterated narrow phase.
+    """
+    from hakai_tpu.pre.synthetic import self_contact_model
+
+    m = self_contact_model()
+    o = Oracle(m)
+    lm = lower(m)
+    assert len(lm.pairs) == 1 and lm.pairs[0].is_self
+    st = init_state(lm)
+    n2o, e2o = _perms(lm)
+    for probe in range(6):
+        for _ in range(50):
+            o.step()
+        st = run_chunk(lm, st, 50)
+        disp, stress, eq, ys, flag = _deck_order(lm, st, n2o, e2o)
+        assert _rel(o.disp.reshape(-1, 3).T, disp) < 1e-9, probe
+        assert _rel(o.integ_stress, stress) < 1e-9, probe
+        assert _rel(o.eq_ps, eq) < 1e-9, probe
+    # self-contact forces must actually have fired: the lower plate is
+    # loaded by nothing else, so any motion of its free nodes proves it
+    lower_free = np.asarray(m.coordmat[2]) == 0.2
+    assert float(np.abs(disp[:, lower_free]).max()) > 1e-6
+
+
 @pytest.mark.slow
 def test_bullet_impact_matches_oracle_through_erosion():
     """Contact + erosion + surface re-exposure path: bullet-impact, 1250

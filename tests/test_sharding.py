@@ -165,3 +165,36 @@ def test_sharded_bullet_impact_erosion():
     np.testing.assert_allclose(np.asarray(out.contact_force),
                                np.asarray(ref.contact_force),
                                rtol=1e-8, atol=1e-11)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_mixed_precision_contact():
+    """USAGE.md's flagship multi-chip example is ``--devices N --precision
+    mixed``: the disp_e-carry sharded fast step + partitioned contact must
+    track the single-device mixed run (f32 element math reassociates across
+    shard shapes, so the contract is trajectory-level, like
+    test_mixed_precision.test_mixed_tracks_f64 — not bitwise)."""
+    from hakai_tpu.io.inp import read_inp_file
+    from conftest import ref_deck
+
+    m = read_inp_file(ref_deck("bullet-impact.inp"))
+    lm = lower(m, SolverConfig(dtype="mixed", elem_pad=16 * 8))
+    assert lm.edtype == np.float32 and lm.dtype == np.float64
+    n_steps = 800
+    ref = run_chunk(lm, init_state(lm), n_steps)
+    assert bool(np.abs(np.asarray(ref.contact_force)).max() > 0)
+
+    mesh = make_mesh(8)
+    ms, ss = shard_arrays(lm, init_state(lm), mesh)
+    out = make_sharded_step(ms, mesh, n_steps=n_steps)(ss)
+    d_ref = np.asarray(ref.disp)[:, :m.n_node]
+    d_out = np.asarray(out.disp)[:, :m.n_node]
+    scale = np.abs(d_ref).max()
+    assert np.abs(d_out - d_ref).max() < 1e-4 * scale
+    # kinetic-energy trajectory agreement (the mixed-precision contract)
+    M = np.asarray(lm.diag_M)
+    ke_ref = 0.5 * float((M * (np.asarray(ref.velo) ** 2).sum(0)).sum())
+    ke_out = 0.5 * float((M * (np.asarray(out.velo) ** 2).sum(0)).sum())
+    assert abs(ke_out - ke_ref) < 1e-4 * max(ke_ref, 1.0)
+    assert np.array_equal(np.asarray(out.element_flag),
+                          np.asarray(ref.element_flag))
