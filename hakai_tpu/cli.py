@@ -6,6 +6,7 @@ Here: ``python -m hakai_tpu <file.inp> [options]``.
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def main(argv=None):
@@ -37,6 +38,12 @@ def main(argv=None):
                     help="write per-chunk JSONL diagnostics to this path")
     ap.add_argument("--check-nan", action="store_true",
                     help="abort when displacements go non-finite")
+    ap.add_argument("--compile-cache",
+                    default=os.environ.get("HAKAI_COMPILE_CACHE",
+                                           "~/.cache/hakai_tpu/xla"),
+                    help="persistent XLA compilation cache directory "
+                         "(second runs of a deck shape skip the multi-"
+                         "minute compile); pass 'off' to disable")
     ap.add_argument("--devices", type=int, default=None,
                     help="element-shard the run over this many devices "
                          "(jax.sharding.Mesh; frames match a "
@@ -73,6 +80,11 @@ def main(argv=None):
     if cfg.dtype in ("float64", "mixed"):
         import jax
         jax.config.update("jax_enable_x64", True)
+    if args.compile_cache and args.compile_cache != "off":
+        import jax
+        cache_dir = os.path.expanduser(args.compile_cache)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from .io.inp import read_inp_file
     from .core.lowering import lower

@@ -26,8 +26,9 @@ import jax.numpy as jnp
 
 from ..config import SolverConfig
 from ..io.model import Model
-from ..ops.gather_pallas import (GatherPlan, plan_assemble,
-                                 plan_blocked_gather, plan_segmented)
+from ..ops.gather_pallas import (AsmPhysPlan, GatherPlan, plan_assemble,
+                                 plan_assemble_phys, plan_blocked_gather,
+                                 plan_segmented)
 from ..ops.shape import pusai_hexa
 
 # face -> local node slots, with the reference's node orders
@@ -234,6 +235,10 @@ class LoweredModel:
     plan_asm: GatherPlan | None = None
     asm_mask: jnp.ndarray = None    # (VL, N) bool
     asm_vl: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # physical-layout assembly plan (preferred on TPU: consumes (3,8,E) Qe
+    # directly, no relayouts, one output write per node tile); plan_asm
+    # stays as the f64 / fallback path
+    plan_asm2: AsmPhysPlan | None = None
     # RCM renumbering permutations (None = deck order used internally);
     # new internal id -> original deck id, 0-based (core/renumber.py)
     node_new2old: jnp.ndarray = None   # (n_node,) int32
@@ -784,7 +789,7 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
                       for m in mats)
 
     # --- Pallas blocked-gather plans (ops/gather_pallas.py) ---
-    plan_pos = plan_asm = None
+    plan_pos = plan_asm = plan_asm2 = None
     asm_mask = None
     asm_vl = 0
     if use_plans:
@@ -803,6 +808,9 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         plan_asm = plan_blocked_gather(asm_idx, 8 * E,
                                        valid=asm_mask.reshape(-1),
                                        subgroups=4)
+        plan_asm2 = plan_assemble_phys(elem, nE, E, N)
+        if not plan_asm2.ok:
+            plan_asm2 = None
 
     return LoweredModel(
         pl_tables=pl_tables, du_tables=du_tables,
@@ -846,6 +854,7 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         pairs=pairs,
         plan_pos=plan_pos,
         plan_asm=plan_asm,
+        plan_asm2=plan_asm2,
         asm_mask=(jnp.asarray(asm_mask) if asm_mask is not None else None),
         asm_vl=asm_vl,
         # element-node coordinates centered on node 0 (computed in f64, so

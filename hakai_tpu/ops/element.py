@@ -54,9 +54,12 @@ def _jacobian(pos_e, dtype):
     for a in range(3):
         for b in range(3):
             col = jnp.asarray(_PUS[:, a, :], dtype)        # (8k, 8i)
-            acc = col[:, 0:1] * pos_e[b, 0][None, :]
+            # pos_e[b, i] stays rank-1 (E,): a (1, E) version forces XLA
+            # into T(1,128) layouts (7/8 of each vreg wasted) when the
+            # slice materializes at a fusion boundary
+            acc = col[:, 0:1] * pos_e[b, 0]
             for i in range(1, 8):
-                acc = acc + col[:, i:i + 1] * pos_e[b, i][None, :]
+                acc = acc + col[:, i:i + 1] * pos_e[b, i]
             J[a][b] = acc                                  # (8, E)
     return J
 
@@ -289,13 +292,16 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     # run; the f64 reference never sees this).
     pos_e = pos_e - pos_e[:, 0:1, :]
 
-    # jacobian: J[a][b] = sum_i pus[k,a,i] * pos[b,i]
+    # jacobian: J[a][b] = sum_i pus[k,a,i] * pos[b,i].  The pos_e/du row
+    # slices stay rank-1 (B,): (1, B) slices materialize at fusion
+    # boundaries in T(1,128) layouts that run at ~150 GB/s (1M profile,
+    # fusion.49) — (B,) slices take the efficient T(1024) 1-D layout.
     J = [[None] * 3 for _ in range(3)]
     for a in range(3):
         for b in range(3):
-            acc = pus[:, a, 1:2] * pos_e[b, 1][None, :]
+            acc = pus[:, a, 1:2] * pos_e[b, 1]
             for i in range(2, 8):
-                acc = acc + pus[:, a, i:i + 1] * pos_e[b, i][None, :]
+                acc = acc + pus[:, a, i:i + 1] * pos_e[b, i]
             J[a][b] = acc                               # (8, B)
     detJ = _det3(J)                                     # (8, B) raw (signed)
     # V and BVbar use |detJ| (cal_BVbar_hexa, HAKAI_j.jl:1736-1740);
@@ -320,9 +326,9 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     Gdu = [[None] * 3 for _ in range(3)]
     for c in range(3):
         for b in range(3):
-            acc = pus[:, c, 0:1] * du[b, 0][None, :]
+            acc = pus[:, c, 0:1] * du[b, 0]
             for i in range(1, 8):
-                acc = acc + pus[:, c, i:i + 1] * du[b, i][None, :]
+                acc = acc + pus[:, c, i:i + 1] * du[b, i]
             Gdu[c][b] = acc                             # (8, B)
     g = [[None] * 3 for _ in range(3)]
     for a in range(3):
@@ -332,7 +338,11 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
                 acc = acc + invJ[a][c] * Gdu[c][b]
             g[a][b] = acc                               # (8, B)
     tr = g[0][0] + g[1][1] + g[2][2]
-    volbar = ((detJ_abs * tr).sum(axis=0) * inv_V / 3.0)[None, :]   # (1, B)
+    # volbar stays rank-1 (B,): a (1, B) version forces XLA into T(1,128)
+    # layouts that waste 7/8 of every vector register — fusion.49 in the 1M
+    # profile ran at 152 GB/s on (1,1,E) arrays for exactly this reason.
+    # numpy broadcasting aligns trailing axes, so (8,B) op (B,) is fine.
+    volbar = (detJ_abs * tr).sum(axis=0) * inv_V / 3.0              # (B,)
 
     de = [
         g[0][0] - tr / 3.0 + volbar,
@@ -343,7 +353,7 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
         g[0][2] + g[2][0],
     ]                                                   # 6 x (8, B)
 
-    tr_de = 3.0 * volbar                                # == de[0]+de[1]+de[2]
+    tr_de = 3.0 * volbar                                # (B,) == sum de[0:3]
     dsig = [lam_e * tr_de + 2.0 * G_e * de[c] for c in range(3)] + \
            [G_e * de[c] for c in range(3, 6)]           # 6 x (8, B)
 
@@ -358,15 +368,14 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     # (HAKAI_j.jl:1227-1285); table walk unrolled per material.
     H = _hardening_slope_tab(pl_tables, mat_id, eq_ps)             # (8,B)
 
-    is_plastic = has_plastic_e[None, :] & (vm > yield_s) \
-        & element_flag[None, :]
+    is_plastic = has_plastic_e & (vm > yield_s) & element_flag   # (8,B)
     safe_vm = _w(vm == 0, 1.0, vm)
     d_ep = _w(is_plastic, (vm - yield_s) / (3.0 * G_e + H), 0.0)
     scale = _w(is_plastic, (yield_s + H * d_ep) / safe_vm, 1.0)
     final = [_w(is_plastic, dev[c] * scale + (mean_s if c < 3 else 0.0),
                 trial[c]) for c in range(6)]
 
-    alive = element_flag[None, :]                        # (1,B) -> (8,B)
+    alive = element_flag                                 # (B,) -> (8,B)
     new_eq = _w(alive & is_plastic, eq_ps + d_ep, eq_ps)
     new_y = _w(alive & is_plastic, yield_s + H * d_ep, yield_s)
     new_stress = [_w(alive, final[c], stress[c]) for c in range(6)]
@@ -395,7 +404,7 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
             acc = invJ[0][c] * s_t[0][b] + invJ[1][c] * s_t[1][b] \
                 + invJ[2][c] * s_t[2][b]
             acc = acc - invJ[b][c] * sig_m
-            M[c][b] = w * acc + wdet * (invJ[b][c] * sum_w_sig_m[None, :])
+            M[c][b] = w * acc + wdet * (invJ[b][c] * sum_w_sig_m)
     rows = []
     for b in range(3):
         cols = []
@@ -405,7 +414,7 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
             cols.append(t.sum(axis=0))                   # (B,)
         rows.append(jnp.stack(cols))                     # (8, B)
     Qe = jnp.stack(rows)                                 # (3, 8, B)
-    Qe = _w(element_flag[None, None, :], Qe, 0.0)
+    Qe = _w(element_flag, Qe, 0.0)
 
     return Qe, new_stress, new_strain, new_eq, new_y
 
@@ -417,6 +426,12 @@ def assemble_internal_force(model: LoweredModel, Qe: jnp.ndarray) -> jnp.ndarray
     Float128 buffer trick at :435,511-517) with a precomputed incidence table:
     each node sums its (element, slot) contributions in a fixed order.
     """
+    if (model.plan_asm2 is not None and jax.default_backend() == "tpu"
+            and Qe.dtype.itemsize <= 4):
+        # physical-layout kernel: takes (3, 8, E) directly — no channel
+        # concat, no row-major relayout, one output write per node tile
+        from .gather_pallas import blocked_assemble_phys
+        return blocked_assemble_phys(Qe, model.plan_asm2)[:, :model.N]
     qf = Qe.reshape(3, -1)                   # (3, 8*E), index i*E+e
     if model.plan_asm is not None and model.plan_asm.vl > 0:
         # in-kernel accumulation over the vl lanes (node-block-major plan)

@@ -727,6 +727,223 @@ def blocked_gather(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
     return out.reshape(C, plan.r_pad)[:, :plan.r]
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class AsmPhysPlan:
+    """Plan for the physical-layout internal-force assembly kernel.
+
+    The (3, 8, E) Qe array keeps its natural T(8,128) tiling (Gauss slot on
+    sublanes): windows are *element-block* ranges sliced straight out of the
+    last axis, so no channel concats or row-major relayouts ever happen (the
+    1M profile showed ~1.3 ms/step of pure relayout copies feeding the
+    row-space assembly gather).  One grid step per 2048-node output tile
+    gathers ALL (slot, dup) contributions from an (8, w) VMEM window with
+    per-sublane lane lookups, accumulates across `rounds` dup-rounds and dk
+    diagonal block offsets, reduces over the 8 slot sublanes in-register,
+    and writes each output block exactly once — no (3, vl*N) intermediate,
+    no output revisit, ~8x fewer DMA issues than the row-space plan.
+    """
+    rows: int = dataclasses.field(metadata=dict(static=True), default=16)
+    dk: int = dataclasses.field(metadata=dict(static=True), default=0)
+    rounds: int = dataclasses.field(metadata=dict(static=True), default=1)
+    n_tiles: int = dataclasses.field(metadata=dict(static=True), default=0)
+    w_blocks: int = dataclasses.field(metadata=dict(static=True), default=0)
+    k0: int = dataclasses.field(metadata=dict(static=True), default=0)
+    scratch_blocks: int = dataclasses.field(metadata=dict(static=True),
+                                            default=0)
+    ok: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    N: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # per-slot block-aligned pads (front, in lanes) aligning every slot's
+    # windows: the 8 local corners of a hex mesh reference elements offset
+    # by up to +-ny*nz from each other — without the alignment the shared
+    # window would have to span that whole range
+    slot_pad: tuple = dataclasses.field(metadata=dict(static=True),
+                                        default=())
+    src_len: int = dataclasses.field(metadata=dict(static=True), default=0)
+    starts: jnp.ndarray = None    # (n_tiles,) int32 src block start
+    shifts: jnp.ndarray = None    # (n_tiles,) int32 scratch dest block offset
+    lidx: jnp.ndarray = None      # (n_tiles*rounds*rows*8, 128) int32
+
+
+_PHYS_SENTINEL = 127 * 128      # drow 127: never selected (dk <= 32)
+
+
+def plan_assemble_phys(elem: np.ndarray, nE: int, E: int, N: int,
+                       r_tile: int = 2048, dk_max: int = 8,
+                       rounds_max: int = 4) -> AsmPhysPlan:
+    """Build an :class:`AsmPhysPlan` from the (8, E) connectivity.
+
+    ``ok=False`` when the mesh numbering defeats the diagonal-window
+    assumption (node tile's incident elements drift nonlinearly) or a node
+    has more than ``rounds_max`` incident elements on one local corner.
+    """
+    rows = r_tile // LANE
+    if N % r_tile or E % LANE:
+        return AsmPhysPlan(ok=False)
+    n_tiles = N // r_tile
+    Eblk = E // LANE
+
+    # (slot, dup) -> element per node
+    flat_nodes = elem[:, :nE].reshape(-1)
+    flat_slot = np.repeat(np.arange(8), nE)
+    flat_e = np.tile(np.arange(nE), 8)
+    order = np.argsort(flat_nodes, kind="stable")
+    sn = flat_nodes[order]
+    # dup rank within (node, slot) groups
+    key = sn * 8 + flat_slot[order]
+    starts_g = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1]) \
+        if len(key) else np.zeros(0, np.int64)
+    grp = np.repeat(starts_g, np.diff(np.concatenate([starts_g, [len(key)]]))) \
+        if len(key) else np.zeros(0, np.int64)
+    dup = np.arange(len(key)) - grp
+    rounds = int(dup.max()) + 1 if len(key) else 1
+    if rounds > rounds_max:
+        return AsmPhysPlan(ok=False)
+
+    # dense (N, rounds, 8) element table, -1 invalid
+    tbl = np.full((N, rounds, 8), -1, np.int64)
+    tbl[sn, dup, flat_slot[order]] = flat_e[order]
+    valid0 = tbl >= 0
+
+    # block-aligned per-slot alignment shift: slot i's elements sit at a
+    # roughly constant offset from the node id (the 8 local corners differ
+    # by up to ny*nz element ids); shifting each slot by its median offset
+    # collapses all slots into one narrow shared window
+    node_blk = (np.arange(N) >> 7)
+    rel = np.where(valid0, (tbl >> 7) - node_blk[:, None, None], 0)
+    shift_i = np.zeros(8, np.int64)
+    for i in range(8):
+        v = rel[:, :, i][valid0[:, :, i]]
+        shift_i[i] = np.median(v) if v.size else 0
+    pad_i = (shift_i.max() - shift_i)            # front pad per slot, blocks
+    src_len = E + int(pad_i.max()) * LANE
+    tbl_s = np.where(valid0, tbl + pad_i[None, None, :] * LANE, -1)
+
+    e_blk = np.where(valid0, tbl_s >> 7, 0)
+    s_of_n = (np.arange(N) % r_tile) // LANE                 # (N,)
+    vbase = np.where(valid0, e_blk - s_of_n[:, None, None],
+                     np.iinfo(np.int64).max)
+    vb_t = vbase.reshape(n_tiles, -1).min(axis=1)            # (n_tiles,)
+    vb_t = np.where(vb_t == np.iinfo(np.int64).max, 0, vb_t)
+    base_n = np.repeat(vb_t, r_tile) + s_of_n                # (N,)
+    delta = np.where(valid0, e_blk - base_n[:, None, None], 0)
+    dk = int(delta.max()) + 1 if valid0.any() else 1
+    if delta.min() < 0 or dk > dk_max:
+        return AsmPhysPlan(ok=False)
+
+    Eblk = src_len // LANE
+    w_blocks = rows + dk - 1
+    if Eblk < w_blocks:
+        return AsmPhysPlan(ok=False)
+    src_start = np.clip(vb_t, 0, Eblk - w_blocks)
+    k0 = int(max((vb_t - src_start).max(), 0))
+    shifts = k0 - (vb_t - src_start)
+    scratch_blocks = int(shifts.max()) + w_blocks
+
+    # lidx[(t, r, s, i), l] = delta*128 + e%128, sentinel if invalid
+    lidx = np.full((N, rounds, 8), _PHYS_SENTINEL, np.int64)
+    lidx[valid0] = delta[valid0] * LANE + (tbl_s[valid0] & (LANE - 1))
+    # (N, rounds, 8) -> (n_tiles, rounds, rows, 8, LANE)
+    lidx = lidx.reshape(n_tiles, rows, LANE, rounds, 8)
+    lidx = lidx.transpose(0, 3, 1, 4, 2).reshape(-1, LANE)
+
+    return AsmPhysPlan(
+        rows=rows, dk=dk, rounds=rounds, n_tiles=n_tiles, w_blocks=w_blocks,
+        k0=k0, scratch_blocks=scratch_blocks, ok=True, N=N,
+        slot_pad=tuple(int(p) * LANE for p in pad_i), src_len=src_len,
+        starts=jnp.asarray(src_start.astype(np.int32)),
+        shifts=jnp.asarray(shifts.astype(np.int32)),
+        lidx=jnp.asarray(lidx.astype(np.int32)),
+    )
+
+
+def _make_phys_asm_kernel(C: int, dk: int, rounds: int, rows: int,
+                          w_blocks: int, scratch_blocks: int, k0: int):
+    def kernel(start_ref, shift_ref, lidx_ref, src_hbm, out_ref,
+               scratch, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+        def dma(s, t, ch):
+            chi = jnp.asarray(ch, jnp.int32)
+            return pltpu.make_async_copy(
+                src_hbm.at[chi, :, pl.ds(start_ref[t] * LANE,
+                                         w_blocks * LANE)],
+                scratch.at[s, chi, :, pl.ds(shift_ref[t] * LANE,
+                                            w_blocks * LANE)],
+                sems.at[s, chi])
+
+        @pl.when(i == 0)
+        def _():
+            if scratch_blocks > w_blocks:
+                scratch[...] = jnp.zeros(scratch.shape, scratch.dtype)
+            for ch in range(C):
+                dma(slot, i, ch).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            for ch in range(C):
+                dma(nxt, i + 1, ch).start()
+
+        lidx = lidx_ref[:]                  # (rounds*rows*8, 128)
+        lane = lidx & (LANE - 1)
+        drow = lidx >> 7
+        for ch in range(C):
+            dma(slot, i, ch).wait()
+        for ch in range(C):
+            for s in range(rows):
+                acc = jnp.zeros((8, LANE), scratch.dtype)
+                for r in range(rounds):
+                    sl = slice((r * rows + s) * 8, (r * rows + s) * 8 + 8)
+                    lane_g = lane[sl]       # (8, 128)
+                    drow_g = drow[sl]
+                    for d in range(dk):
+                        V = scratch[slot, ch, :,
+                                    pl.ds((k0 + s + d) * LANE, LANE)]
+                        val = _lane_lookup(V, lane_g)
+                        acc = acc + jax.lax.select(
+                            drow_g == d, val, jnp.zeros_like(val))
+                out_ref[ch, s, :] = jnp.sum(acc, axis=0)
+    return kernel
+
+
+def blocked_assemble_phys(qe: jnp.ndarray, plan: AsmPhysPlan) -> jnp.ndarray:
+    """(C, 8, E) Qe -> (C, N) assembled nodal force via the physical-layout
+    plan.  The per-slot alignment pad is a cheap pad+stack (fuses with the
+    producer's Qe materialization); no row-major relayouts anywhere."""
+    C, _, E = qe.shape
+    P = plan.src_len
+    src = jnp.stack(
+        [jnp.pad(qe[:, i], ((0, 0), (plan.slot_pad[i],
+                                     P - E - plan.slot_pad[i])))
+         for i in range(8)], axis=1)             # (C, 8, P)
+    rows = plan.rows
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(plan.n_tiles,),
+        in_specs=[
+            pl.BlockSpec((plan.rounds * rows * 8, LANE),
+                         lambda i, ss, sh: (i, _I0())),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((C, rows, LANE),
+                               lambda i, ss, sh: (_I0(), i, _I0())),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, 8, plan.scratch_blocks * LANE), qe.dtype),
+            pltpu.SemaphoreType.DMA((2, C)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_phys_asm_kernel(C, plan.dk, plan.rounds, rows, plan.w_blocks,
+                              plan.scratch_blocks, plan.k0),
+        out_shape=jax.ShapeDtypeStruct((C, plan.N // LANE, LANE), qe.dtype),
+        grid_spec=grid_spec,
+    )(plan.starts, plan.shifts, plan.lidx, src)
+    return out.reshape(C, plan.N)
+
+
 def plan_sharded_gather(indices_per_shard, source_len: int,
                         valid_per_shard=None, r_tile: int = 2048,
                         max_w_rows: int = 64,
@@ -770,12 +987,19 @@ def plan_sharded_gather(indices_per_shard, source_len: int,
                       and len({(p.r, p.r_pad, p.w_rows, p.m_w_rows, p.sg,
                                 p.n_tiles) for p in plans}) == 1)
     if not uniform_ok:
-        # XLA-gather fallback across all shards.  The stacked index arrays
-        # must still share one shape: re-plan every shard with sg=1 (no
-        # merge padding, so r_pad is uniform given equal r) and forced
-        # max window rows — per-shard sg/merge divergence (e.g. one shard's
-        # subgroup merge falling back while another keeps sg=4) must not
-        # turn into a lowering-time stack error on the --devices path.
+        # per-shard sg/merge divergence (e.g. one shard's subgroup merge
+        # falling back while another keeps sg=4): retry everywhere with
+        # sg=1 — no merge padding, so r_pad is uniform given equal r, and
+        # the chunk-select kernel still runs (slower than merged windows,
+        # far faster than the XLA gather)
+        plans = plan_all(max(p.w_rows for p in plans), 0, 1)
+        uniform_ok = (all(p.ok for p in plans)
+                      and len({(p.r, p.r_pad, p.w_rows, p.m_w_rows, p.sg,
+                                p.n_tiles) for p in plans}) == 1)
+    if not uniform_ok:
+        # XLA-gather fallback across all shards; the stacked index arrays
+        # must still share one shape (forced max window rows, sg=1) so the
+        # --devices path degrades instead of raising at jnp.stack
         import logging
         logging.getLogger(__name__).warning(
             "plan_sharded_gather: non-uniform per-shard plans; multi-chip "

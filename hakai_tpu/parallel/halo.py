@@ -456,7 +456,7 @@ def _local_fast_model(hm: HaloModel) -> LoweredModel:
         hm.base, N=W, E=hm.El, elem=hm.elem_w, mat_id=hm.mat_id,
         G_e=hm.G_e, lam_e=hm.lam_e, has_plastic_e=hm.has_plastic_e,
         yield0_e=hm.yield0_e,
-        plan_pos=hm.h_plan_pos, plan_asm=hm.h_plan_asm,
+        plan_pos=hm.h_plan_pos, plan_asm=hm.h_plan_asm, plan_asm2=None,
         asm_mask=hm.h_asm_mask, asm_vl=hm.h_asm_vl,
         coord_e=None, inc_idx=None, inc_mask=None, pairs=())
 
