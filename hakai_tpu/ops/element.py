@@ -162,16 +162,38 @@ def element_core(model: LoweredModel,
         eq_ps, yield_s, element_flag)
     neg = jnp.sum((_det_sign_negative(pos_e) & element_flag[None, :]),
                   dtype=jnp.int32)
-    return ElementResult(qe, jnp.stack(s_c), jnp.stack(e_c), eq, y, neg)
+    return ElementResult(_stack_qe(qe), jnp.stack(s_c), jnp.stack(e_c),
+                         eq, y, neg)
+
+
+def element_kinematics(coord_e, disp_e, disp_e_prev, edt, E: int):
+    """pos_e/du_e for the fast chunk loop from the carried disp_e.
+
+    coord_e is centered on each element's node 0; centering the displacement
+    copies the same way keeps pos_e well-conditioned in f32 for meshes far
+    from the origin (J is translation-invariant), and the differences cancel
+    in the (possibly wider) kinematic dtype BEFORE the edtype cast.
+
+    Measured negative result (1M profile, round 3): building these as
+    per-row (E,) component lists does NOT avoid the T(1,128) layouts —
+    rank-1 values SLICED from a (3,8,E) array inherit the tiled layout as
+    (1,1,E) T(1,128) and the component builds ran at ~230 GB/s (2.6 ms vs
+    0.9 ms for the array form), so the (3,8,E) array form stays.
+    """
+    return (coord_e + (disp_e - disp_e[:, 0:1, :]).astype(edt),
+            (disp_e - disp_e_prev).astype(edt))
 
 
 def element_core_c(model: LoweredModel, pos_e, du, stress_c, strain_c,
                    eq_ps, yield_s, element_flag):
-    """Component-list variant (6 x (8,E) stress/strain in and out) — used by
-    the fast chunk loop to avoid materializing (6,8,E) stacks every step."""
+    """Component-list variant (6 x (8,E) stress/strain in and out; pos/du
+    as arrays or [b][i] row lists) — used by the fast chunk loop to avoid
+    materializing (6,8,E) and (3,8,E) stacks every step."""
+    pdt = (pos_e[0][0].dtype if isinstance(pos_e, (list, tuple))
+           else pos_e.dtype)
     return _math_maybe_slabbed(
         model, model.pl_tables, model.mat_id, model.G_e, model.lam_e,
-        model.has_plastic_e, jnp.asarray(_PUS, pos_e.dtype), pos_e, du,
+        model.has_plastic_e, jnp.asarray(_PUS, pdt), pos_e, du,
         stress_c, strain_c, eq_ps, yield_s, element_flag)
 
 
@@ -191,7 +213,8 @@ def _resolve_slab(model: LoweredModel, E: int) -> int:
 def _math_maybe_slabbed(model, pl_tables, mat_id, G_e, lam_e, has_plastic_e,
                         pus, pos_e, du, stress, strain, eq_ps, yield_s,
                         element_flag):
-    E = pos_e.shape[-1]
+    E = (pos_e[0][0].shape[-1] if isinstance(pos_e, (list, tuple))
+         else pos_e.shape[-1])
     slab = _resolve_slab(model, E)
     if not slab:
         return _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e,
@@ -204,10 +227,13 @@ def _math_maybe_slabbed(model, pl_tables, mat_id, G_e, lam_e, has_plastic_e,
         idx = (z,) * (a.ndim - 1) + (start,)
         return jax.lax.dynamic_slice(a, idx, a.shape[:-1] + (slab,))
 
+    def slt(t, start):       # tree-aware (pos/du may be [b][i] row lists)
+        return jax.tree_util.tree_map(lambda a: sl(a, start), t)
+
     def run_slab(start):
         return _element_math(
             pl_tables, sl(mat_id, start), sl(G_e, start), sl(lam_e, start),
-            sl(has_plastic_e, start), pus, sl(pos_e, start), sl(du, start),
+            sl(has_plastic_e, start), pus, slt(pos_e, start), slt(du, start),
             [sl(s, start) for s in stress], [sl(e, start) for e in strain],
             sl(eq_ps, start), sl(yield_s, start), sl(element_flag, start))
 
@@ -234,6 +260,9 @@ def _math_maybe_slabbed(model, pl_tables, mat_id, G_e, lam_e, has_plastic_e,
 
 
 _TILE_E = 1024
+# phys-layout assembly only above this element count (see
+# assemble_internal_force; measured crossover between the 131k and 1M bars)
+_PHYS_ASM_MIN_E = 400_000
 
 
 def _det_sign_negative(pos_e):
@@ -272,17 +301,33 @@ def _hardening_slope_tab(pl_tables, mat, eq_ps):
     return H
 
 
+def _rows_of(x):
+    """(3, 8, B) array -> nested [b][i] list of (B,) rows (identity on an
+    already-listed input).  Keeping per-row (B,) arrays instead of (1, B)
+    slices avoids XLA's T(1,128) slice materializations (1M profile:
+    fusion.49, 977 us/step of pure slicing at 152 GB/s)."""
+    if isinstance(x, (list, tuple)):
+        return x
+    return [[x[b, i] for i in range(8)] for b in range(3)]
+
+
+def _stack_qe(qe_rows):
+    return jnp.stack([jnp.stack(r) for r in qe_rows])
+
+
 def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
                   pos_e, du, stress, strain, eq_ps, yield_s, element_flag):
     """Pure B-bar + radial-return + internal-force math on (…, B) arrays.
 
     Written against lax primitives only so it can run both as a plain traced
     function and inside a Pallas kernel body.  ``stress``/``strain`` are
-    6-component sequences of (8,B) arrays in and out (avoids materializing
-    (6,8,B) stacks — worth ~0.3 ms/step at 131k elements).  Returns
-    (Qe, stress6, strain6, eq_ps, yield_s).
+    6-component sequences of (8,B) arrays in and out; ``pos_e``/``du`` are
+    (3,8,B) arrays or nested [b][i] row lists (see _rows_of).  Returns
+    (qe_rows [b][i] of (B,), stress6, strain6, eq_ps, yield_s).
     """
-    dtype = pos_e.dtype
+    pos_r = _rows_of(pos_e)
+    du_r = _rows_of(du)
+    dtype = pos_r[0][0].dtype
 
     # Center coordinates on each element's first node before the Jacobian.
     # J is translation-invariant, and in f32 this removes the catastrophic
@@ -290,7 +335,7 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     # span ~3000 mm with ~1 mm elements: raw f32 positions quantize at
     # ~2.4e-4 mm, injecting ~2% strain noise per step that destabilizes the
     # run; the f64 reference never sees this).
-    pos_e = pos_e - pos_e[:, 0:1, :]
+    pos_r = [[pos_r[b][i] - pos_r[b][0] for i in range(8)] for b in range(3)]
 
     # jacobian: J[a][b] = sum_i pus[k,a,i] * pos[b,i].  The pos_e/du row
     # slices stay rank-1 (B,): (1, B) slices materialize at fusion
@@ -299,9 +344,9 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     J = [[None] * 3 for _ in range(3)]
     for a in range(3):
         for b in range(3):
-            acc = pus[:, a, 1:2] * pos_e[b, 1]
+            acc = pus[:, a, 1:2] * pos_r[b][1]
             for i in range(2, 8):
-                acc = acc + pus[:, a, i:i + 1] * pos_e[b, i]
+                acc = acc + pus[:, a, i:i + 1] * pos_r[b][i]
             J[a][b] = acc                               # (8, B)
     detJ = _det3(J)                                     # (8, B) raw (signed)
     # V and BVbar use |detJ| (cal_BVbar_hexa, HAKAI_j.jl:1736-1740);
@@ -326,9 +371,9 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     Gdu = [[None] * 3 for _ in range(3)]
     for c in range(3):
         for b in range(3):
-            acc = pus[:, c, 0:1] * du[b, 0]
+            acc = pus[:, c, 0:1] * du_r[b][0]
             for i in range(1, 8):
-                acc = acc + pus[:, c, i:i + 1] * du[b, i]
+                acc = acc + pus[:, c, i:i + 1] * du_r[b][i]
             Gdu[c][b] = acc                             # (8, B)
     g = [[None] * 3 for _ in range(3)]
     for a in range(3):
@@ -359,10 +404,12 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
 
     trial = [stress[c] + dsig[c] for c in range(6)]
     mean_s = (trial[0] + trial[1] + trial[2]) / 3.0     # (8,B)
-    dev = [trial[0] - mean_s, trial[1] - mean_s, trial[2] - mean_s,
-           trial[3], trial[4], trial[5]]
-    vm = jnp.sqrt(1.5 * (dev[0]**2 + dev[1]**2 + dev[2]**2
-                         + 2.0 * (dev[3]**2 + dev[4]**2 + dev[5]**2)))
+    # the deviator is never materialized: dev[c] = trial[c] - mean_s is
+    # re-expressed at each use (same FP ops, one fewer 6x(8,B) intermediate
+    # with multiple consumers for XLA to spill)
+    vm = jnp.sqrt(1.5 * ((trial[0] - mean_s)**2 + (trial[1] - mean_s)**2
+                         + (trial[2] - mean_s)**2
+                         + 2.0 * (trial[3]**2 + trial[4]**2 + trial[5]**2)))
 
     # --- J2 radial return with piecewise-linear isotropic hardening
     # (HAKAI_j.jl:1227-1285); table walk unrolled per material.
@@ -372,7 +419,9 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     safe_vm = _w(vm == 0, 1.0, vm)
     d_ep = _w(is_plastic, (vm - yield_s) / (3.0 * G_e + H), 0.0)
     scale = _w(is_plastic, (yield_s + H * d_ep) / safe_vm, 1.0)
-    final = [_w(is_plastic, dev[c] * scale + (mean_s if c < 3 else 0.0),
+    final = [_w(is_plastic,
+                ((trial[c] - mean_s) * scale + mean_s) if c < 3
+                else trial[c] * scale,
                 trial[c]) for c in range(6)]
 
     alive = element_flag                                 # (B,) -> (8,B)
@@ -405,18 +454,16 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
                 + invJ[2][c] * s_t[2][b]
             acc = acc - invJ[b][c] * sig_m
             M[c][b] = w * acc + wdet * (invJ[b][c] * sum_w_sig_m)
-    rows = []
+    qe_rows = []
     for b in range(3):
         cols = []
         for i in range(8):
             t = pus[:, 0, i:i + 1] * M[0][b] + pus[:, 1, i:i + 1] * M[1][b] \
                 + pus[:, 2, i:i + 1] * M[2][b]
-            cols.append(t.sum(axis=0))                   # (B,)
-        rows.append(jnp.stack(cols))                     # (8, B)
-    Qe = jnp.stack(rows)                                 # (3, 8, B)
-    Qe = _w(element_flag, Qe, 0.0)
+            cols.append(_w(element_flag, t.sum(axis=0), 0.0))   # (B,)
+        qe_rows.append(cols)
 
-    return Qe, new_stress, new_strain, new_eq, new_y
+    return qe_rows, new_stress, new_strain, new_eq, new_y
 
 
 def assemble_internal_force(model: LoweredModel, Qe: jnp.ndarray) -> jnp.ndarray:
@@ -426,12 +473,20 @@ def assemble_internal_force(model: LoweredModel, Qe: jnp.ndarray) -> jnp.ndarray
     Float128 buffer trick at :435,511-517) with a precomputed incidence table:
     each node sums its (element, slot) contributions in a fixed order.
     """
-    if (model.plan_asm2 is not None and jax.default_backend() == "tpu"
-            and Qe.dtype.itemsize <= 4):
+    qdtype = (Qe.dtype if not isinstance(Qe, (list, tuple))
+              else Qe[0][0].dtype)
+    if (model.plan_asm2 is not None and model.E >= _PHYS_ASM_MIN_E
+            and jax.default_backend() == "tpu" and qdtype.itemsize <= 4):
         # physical-layout kernel: takes (3, 8, E) directly — no channel
-        # concat, no row-major relayout, one output write per node tile
+        # concat, no row-major relayout, one output write per node tile.
+        # Only pays off in the HBM-spill regime: at 131k (VMEM-resident)
+        # the pad-stack source costs ~90 us while the row-space gather it
+        # replaces is already cheap; at 1M it saves ~2 ms/step (relayouts
+        # + DMA-issue serialization of the 4248-tile row-space plan).
         from .gather_pallas import blocked_assemble_phys
         return blocked_assemble_phys(Qe, model.plan_asm2)[:, :model.N]
+    if isinstance(Qe, (list, tuple)):
+        Qe = _stack_qe(Qe)
     qf = Qe.reshape(3, -1)                   # (3, 8*E), index i*E+e
     if model.plan_asm is not None and model.plan_asm.vl > 0:
         # in-kernel accumulation over the vl lanes (node-block-major plan)

@@ -33,7 +33,7 @@ def _make_kernel(pl_tables):
             pl_tables, mat_ref[0], G_ref[0], lam_ref[0], hasp, pus_ref[:],
             pos_ref[:], du_ref[:], stress_c, strain_c,
             eq_ref[:], y_ref[:], flag)
-        qe_ref[:] = qe
+        qe_ref[:] = _el._stack_qe(qe)
         stress_o[:] = jnp.stack(s_c)
         strain_o[:] = jnp.stack(e_c)
         eq_o[:] = eq
@@ -105,7 +105,7 @@ def _make_packed_kernel(pl_tables, TE):
         qe, s_c, e_c, eq2, y2 = _el._element_math(
             pl_tables, mat, G, lam, hasp, pus_ref[:], pos_e, du,
             stress_c, strain_c, eq, y, flag)
-        qe_ref[:] = qe.reshape(24, TE)
+        qe_ref[:] = _el._stack_qe(qe).reshape(24, TE)
         for c in range(6):
             P_out[8 * c:8 * (c + 1)] = s_c[c]
             P_out[48 + 8 * c:48 + 8 * (c + 1)] = e_c[c]

@@ -909,16 +909,29 @@ def _make_phys_asm_kernel(C: int, dk: int, rounds: int, rows: int,
     return kernel
 
 
-def blocked_assemble_phys(qe: jnp.ndarray, plan: AsmPhysPlan) -> jnp.ndarray:
-    """(C, 8, E) Qe -> (C, N) assembled nodal force via the physical-layout
-    plan.  The per-slot alignment pad is a cheap pad+stack (fuses with the
-    producer's Qe materialization); no row-major relayouts anywhere."""
-    C, _, E = qe.shape
-    P = plan.src_len
-    src = jnp.stack(
-        [jnp.pad(qe[:, i], ((0, 0), (plan.slot_pad[i],
-                                     P - E - plan.slot_pad[i])))
-         for i in range(8)], axis=1)             # (C, 8, P)
+def blocked_assemble_phys(qe, plan: AsmPhysPlan) -> jnp.ndarray:
+    """Qe -> (C, N) assembled nodal force via the physical-layout plan.
+
+    ``qe`` is a (C, 8, E) array or a [b][i] list of (E,) component rows —
+    the rows form lets the per-slot alignment pad build the (C, 8, P)
+    kernel source in ONE concat straight from the math's column outputs
+    (no intermediate (C, 8, E) materialization, no T(1,128) slice copies).
+    """
+    if isinstance(qe, (list, tuple)):
+        C = len(qe)
+        E = qe[0][0].shape[-1]
+        P = plan.src_len
+        src = jnp.stack(
+            [jnp.stack([jnp.pad(qe[b][i],
+                                (plan.slot_pad[i], P - E - plan.slot_pad[i]))
+                        for i in range(8)]) for b in range(C)])
+    else:
+        C, _, E = qe.shape
+        P = plan.src_len
+        src = jnp.stack(
+            [jnp.pad(qe[:, i], ((0, 0), (plan.slot_pad[i],
+                                         P - E - plan.slot_pad[i])))
+             for i in range(8)], axis=1)         # (C, 8, P)
     rows = plan.rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -931,14 +944,14 @@ def blocked_assemble_phys(qe: jnp.ndarray, plan: AsmPhysPlan) -> jnp.ndarray:
         out_specs=pl.BlockSpec((C, rows, LANE),
                                lambda i, ss, sh: (_I0(), i, _I0())),
         scratch_shapes=[
-            pltpu.VMEM((2, C, 8, plan.scratch_blocks * LANE), qe.dtype),
+            pltpu.VMEM((2, C, 8, plan.scratch_blocks * LANE), src.dtype),
             pltpu.SemaphoreType.DMA((2, C)),
         ],
     )
     out = pl.pallas_call(
         _make_phys_asm_kernel(C, plan.dk, plan.rounds, rows, plan.w_blocks,
                               plan.scratch_blocks, plan.k0),
-        out_shape=jax.ShapeDtypeStruct((C, plan.N // LANE, LANE), qe.dtype),
+        out_shape=jax.ShapeDtypeStruct((C, plan.N // LANE, LANE), src.dtype),
         grid_spec=grid_spec,
     )(plan.starts, plan.shifts, plan.lidx, src)
     return out.reshape(C, plan.N)

@@ -471,13 +471,15 @@ def _halo_step_fast(hm: HaloModel, lm: LoweredModel, s: HaloState,
     base = hm.base
     edt = base.edtype
     H = hm.H
+    from ..ops.element import element_kinematics
+
     t, disp_new, velo = _halo_integrate(hm, s, flag_g)
     disp_w = _exchange_window(disp_new, H)               # (3, W)
     disp_e = gather_disp_e(lm, disp_w)                   # (3, 8, El)
-    pos_e = hm.coord_e + (disp_e - disp_e[:, 0:1, :]).astype(edt)
-    du_e = (disp_e - disp_e_prev).astype(edt)
+    pos_r, du_r = element_kinematics(hm.coord_e, disp_e, disp_e_prev,
+                                     edt, lm.E)
     qe, s_c, e_c, eq, y = element_core_c(
-        lm, pos_e, du_e, stress_c, strain_c, s.eq_ps, s.yield_s,
+        lm, pos_r, du_r, stress_c, strain_c, s.eq_ps, s.yield_s,
         s.element_flag)
     fw = assemble_internal_force(lm, qe).astype(base.dtype)   # (3, W)
     Q = _return_ghosts(fw, H)

@@ -197,6 +197,9 @@ def _sharded_assemble(lm: LoweredModel, Qe: jnp.ndarray) -> jnp.ndarray:
     a disjoint union (additions with zero are exact); the lane sum then
     runs in the same fixed order as the single-chip path — Q matches a
     single-device run to XLA fusion roundoff, independent of mesh size."""
+    if isinstance(Qe, (list, tuple)):
+        from ..ops.element import _stack_qe
+        Qe = _stack_qe(Qe)
     if lm.plan_asm is not None:
         qf = Qe.reshape(3, -1)
         vals = blocked_gather(qf, lm.plan_asm)
@@ -246,13 +249,15 @@ def _sharded_step_fast(lm: LoweredModel, state: SimState, disp_e_prev,
                                triax_components)
     from ..ops.erosion import erosion_delete_mask
 
+    from ..ops.element import element_kinematics
+
     edt = lm.edtype
     t, disp_new, velo, cforce = _sharded_integrate(lm, state, flag_g)
     disp_e = gather_disp_e(lm, disp_new)
-    pos_e = lm.coord_e + (disp_e - disp_e[:, 0:1, :]).astype(edt)
-    du_e = (disp_e - disp_e_prev).astype(edt)
+    pos_r, du_r = element_kinematics(lm.coord_e, disp_e, disp_e_prev,
+                                     edt, lm.E)
     qe, s_c, e_c, eq, y = element_core_c(
-        lm, pos_e, du_e, stress_c, strain_c, state.eq_ps, state.yield_s,
+        lm, pos_r, du_r, stress_c, strain_c, state.eq_ps, state.yield_s,
         state.element_flag)
     Q = _sharded_assemble(lm, qe)
     triax = triax_components(s_c)

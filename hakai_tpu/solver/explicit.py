@@ -145,16 +145,15 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
     from ..ops.element import element_core_c, gather_disp_e, triax_components
     from ..ops.erosion import erosion_delete_mask
 
+    from ..ops.element import element_kinematics
+
     edt = model.edtype
     t, disp_new, velo, cforce = _integrate(model, state)
     disp_e = gather_disp_e(model, disp_new)
-    # model.coord_e is centered on each element's node 0; centering the
-    # displacement copies the same way keeps pos_e well-conditioned in f32
-    # for meshes far from the origin (J is translation-invariant)
-    pos_e = model.coord_e + (disp_e - disp_e[:, 0:1, :]).astype(edt)
-    du_e = (disp_e - disp_e_prev).astype(edt)
+    pos_r, du_r = element_kinematics(model.coord_e, disp_e, disp_e_prev,
+                                     edt, model.E)
     qe, s_c, e_c, eq, y = element_core_c(
-        model, pos_e, du_e, stress_c, strain_c, state.eq_ps, state.yield_s,
+        model, pos_r, du_r, stress_c, strain_c, state.eq_ps, state.yield_s,
         state.element_flag)
     Q = assemble_internal_force(model, qe).astype(model.dtype)
     triax = triax_components(s_c)
