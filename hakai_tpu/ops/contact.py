@@ -257,54 +257,42 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
             ids = jax.lax.dynamic_slice(ids_p, (c0,), (nb,))
             mi = jax.lax.dynamic_slice(mi_p, (c0,), (nb,))
 
-            # --- narrow phase, unrolled over the coordinate axis: every
-            # (3, TB, nb) stack (b, vrel, ve, vs, f) would be a ~12 MB HBM
-            # round-trip per trip; per-axis (TB, nb) pieces keep the trip
-            # body in a few fusions (same technique as ops/element.py) ---
             # pair masks (TB, nb); +-1 uniform-grid cell test (:2487-2492)
-            cell_ok = (jnp.abs(cellj0c[0][:, None] - ci[0][None, :]) <= 1) \
-                & (jnp.abs(cellj0c[1][:, None] - ci[1][None, :]) <= 1) \
-                & (jnp.abs(cellj0c[2][:, None] - ci[2][None, :]) <= 1)
+            cell_ok = (jnp.abs(cellj0c[:, :, None] - ci[:, None, :]) <= 1
+                       ).all(axis=0)
             m = tinc[:, None] & nin[None, :] & cell_ok
             if pair.is_self:
                 own = (enc[:, :, None] == ids[None, None, :]).any(axis=0)
                 m &= ~own
-            dpc = jnp.sqrt(sum((p[a][None, :] - ctrc[a][:, None]) ** 2
-                               for a in range(3)))
+            dpc = jnp.sqrt(((p[:, None, :] - ctrc[:, :, None]) ** 2).sum(0))
             m &= dpc < Rmaxc[:, None]
 
-            ba = [p[a][None, :] - q0c[a][:, None] for a in range(3)]
-            x1 = sum(im0c[a][:, None] * ba[a] for a in range(3))
-            x2 = sum(im1c[a][:, None] * ba[a] for a in range(3))
-            d = sum(im2c[a][:, None] * ba[a] for a in range(3))
+            b = p[:, None, :] - q0c[:, :, None]               # (3, TB, nb)
+            x1 = (im0c[:, :, None] * b).sum(0)
+            x2 = (im1c[:, :, None] * b).sum(0)
+            d = (im2c[:, :, None] * b).sum(0)
             m &= (x1 >= 0.0) & (x2 >= 0.0) & (x1 + x2 <= 1.0) \
                 & (d > 0.0) & (d <= d_lim)
 
             F = jnp.where(m, kpenc[:, None] * d, 0.0)         # (TB, nb)
-            va = [vi[a][None, :] - vj0c[a][:, None] for a in range(3)]
-            mag_v = jnp.sqrt(va[0]**2 + va[1]**2 + va[2]**2)
-            safe_mv = jnp.where(mag_v == 0, 1.0, mag_v)
-            live = mag_v > 0
-            ve = [jnp.where(live, va[a] / safe_mv, 0.0) for a in range(3)]
-            dot_vn = (ve[0] * nrmc[0][:, None] + ve[1] * nrmc[1][:, None]
-                      + ve[2] * nrmc[2][:, None])
-            Cdm = jnp.where(m, 2.0 * jnp.sqrt(mi[None, :] * kpenc[:, None])
-                            * Cr, 0.0)
-            fi_rows = []
-            ft_rows = []
-            for a in range(3):
-                vs_a = ve[a] - dot_vn * nrmc[a][:, None]
-                f_a = jnp.where(m, F * nrmc[a][:, None] - myu * F * vs_a
-                                - Cdm * va[a], 0.0)           # (TB, nb)
-                fi_rows.append(f_a.sum(axis=0))               # (nb,)
-                ft_rows.append(f_a.sum(axis=1))               # (TB,)
+            vrel = vi[:, None, :] - vj0c[:, :, None]          # (3, TB, nb)
+            mag_v = jnp.sqrt((vrel ** 2).sum(0))
+            ve = vrel / jnp.where(mag_v == 0, 1.0, mag_v)
+            ve = jnp.where(mag_v > 0, ve, 0.0)
+            dot_vn = (ve * nrmc[:, :, None]).sum(0)
+            vs = ve - dot_vn * nrmc[:, :, None]
+            Cd = 2.0 * jnp.sqrt(mi[None, :] * kpenc[:, None]) * Cr
+            f = (F * nrmc[:, :, None]
+                 - myu * F * vs
+                 - jnp.where(m, Cd, 0.0) * vrel)              # (3, TB, nb)
+            f = jnp.where(m[None], f, 0.0)
 
             fi = jax.lax.dynamic_slice(force_i, (z, c0), (3, nb))
             force_i = jax.lax.dynamic_update_slice(
-                force_i, fi + jnp.stack(fi_rows), (z, c0))
+                force_i, fi + f.sum(axis=1), (z, c0))
             ft = jax.lax.dynamic_slice(force_t, (z, t0), (3, TB))
             force_t = jax.lax.dynamic_update_slice(
-                force_t, ft + jnp.stack(ft_rows) / 3.0, (z, t0))
+                force_t, ft + f.sum(axis=2) / 3.0, (z, t0))
             return force_i, force_t
 
         if axis_name is not None:

@@ -185,16 +185,19 @@ def element_kinematics(coord_e, disp_e, disp_e_prev, edt, E: int):
 
 
 def element_core_c(model: LoweredModel, pos_e, du, stress_c, strain_c,
-                   eq_ps, yield_s, element_flag):
+                   eq_ps, yield_s, element_flag, pre_centered=False):
     """Component-list variant (6 x (8,E) stress/strain in and out; pos/du
     as arrays or [b][i] row lists) — used by the fast chunk loop to avoid
-    materializing (6,8,E) and (3,8,E) stacks every step."""
+    materializing (6,8,E) and (3,8,E) stacks every step.  pre_centered=True
+    asserts pos_e's node-0 row is exactly zero (element_kinematics output)
+    so the math can skip re-centering."""
     pdt = (pos_e[0][0].dtype if isinstance(pos_e, (list, tuple))
            else pos_e.dtype)
     return _math_maybe_slabbed(
         model, model.pl_tables, model.mat_id, model.G_e, model.lam_e,
         model.has_plastic_e, jnp.asarray(_PUS, pdt), pos_e, du,
-        stress_c, strain_c, eq_ps, yield_s, element_flag)
+        stress_c, strain_c, eq_ps, yield_s, element_flag,
+        pre_centered=pre_centered)
 
 
 def _resolve_slab(model: LoweredModel, E: int) -> int:
@@ -212,14 +215,14 @@ def _resolve_slab(model: LoweredModel, E: int) -> int:
 
 def _math_maybe_slabbed(model, pl_tables, mat_id, G_e, lam_e, has_plastic_e,
                         pus, pos_e, du, stress, strain, eq_ps, yield_s,
-                        element_flag):
+                        element_flag, pre_centered=False):
     E = (pos_e[0][0].shape[-1] if isinstance(pos_e, (list, tuple))
          else pos_e.shape[-1])
     slab = _resolve_slab(model, E)
     if not slab:
         return _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e,
                              pus, pos_e, du, stress, strain, eq_ps, yield_s,
-                             element_flag)
+                             element_flag, pre_centered=pre_centered)
     n = -(-E // slab)
     z = jnp.zeros((), jnp.int32)
 
@@ -235,7 +238,8 @@ def _math_maybe_slabbed(model, pl_tables, mat_id, G_e, lam_e, has_plastic_e,
             pl_tables, sl(mat_id, start), sl(G_e, start), sl(lam_e, start),
             sl(has_plastic_e, start), pus, slt(pos_e, start), slt(du, start),
             [sl(s, start) for s in stress], [sl(e, start) for e in strain],
-            sl(eq_ps, start), sl(yield_s, start), sl(element_flag, start))
+            sl(eq_ps, start), sl(yield_s, start), sl(element_flag, start),
+            pre_centered=pre_centered)
 
     shapes = jax.eval_shape(run_slab, jnp.zeros((), jnp.int32))
 
@@ -316,7 +320,8 @@ def _stack_qe(qe_rows):
 
 
 def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
-                  pos_e, du, stress, strain, eq_ps, yield_s, element_flag):
+                  pos_e, du, stress, strain, eq_ps, yield_s, element_flag,
+                  pre_centered=False):
     """Pure B-bar + radial-return + internal-force math on (…, B) arrays.
 
     Written against lax primitives only so it can run both as a plain traced
@@ -334,8 +339,14 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     # loss of significance for meshes far from the origin (e.g. the car decks
     # span ~3000 mm with ~1 mm elements: raw f32 positions quantize at
     # ~2.4e-4 mm, injecting ~2% strain noise per step that destabilizes the
-    # run; the f64 reference never sees this).
-    pos_r = [[pos_r[b][i] - pos_r[b][0] for i in range(8)] for b in range(3)]
+    # run; the f64 reference never sees this).  The fast chunk paths build
+    # pos_e = coord_e + (disp_e - disp_e[node0]) from the lowering-time
+    # node-0-centered coord_e (core/lowering.py:863), so their row 0 is
+    # exactly zero and re-centering would subtract exact zeros — they pass
+    # pre_centered=True to skip the 24 (B,) subtract ops.
+    if not pre_centered:
+        pos_r = [[pos_r[b][i] - pos_r[b][0] for i in range(8)]
+                 for b in range(3)]
 
     # jacobian: J[a][b] = sum_i pus[k,a,i] * pos[b,i].  The pos_e/du row
     # slices stay rank-1 (B,): (1, B) slices materialize at fusion

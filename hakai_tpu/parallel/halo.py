@@ -480,7 +480,7 @@ def _halo_step_fast(hm: HaloModel, lm: LoweredModel, s: HaloState,
                                      edt, lm.E)
     qe, s_c, e_c, eq, y = element_core_c(
         lm, pos_r, du_r, stress_c, strain_c, s.eq_ps, s.yield_s,
-        s.element_flag)
+        s.element_flag, pre_centered=True)
     fw = assemble_internal_force(lm, qe).astype(base.dtype)   # (3, W)
     Q = _return_ghosts(fw, H)
     triax = triax_components(s_c)

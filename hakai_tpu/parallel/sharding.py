@@ -258,7 +258,7 @@ def _sharded_step_fast(lm: LoweredModel, state: SimState, disp_e_prev,
                                      edt, lm.E)
     qe, s_c, e_c, eq, y = element_core_c(
         lm, pos_r, du_r, stress_c, strain_c, state.eq_ps, state.yield_s,
-        state.element_flag)
+        state.element_flag, pre_centered=True)
     Q = _sharded_assemble(lm, qe)
     triax = triax_components(s_c)
     flag = state.element_flag

@@ -154,7 +154,7 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
                                      edt, model.E)
     qe, s_c, e_c, eq, y = element_core_c(
         model, pos_r, du_r, stress_c, strain_c, state.eq_ps, state.yield_s,
-        state.element_flag)
+        state.element_flag, pre_centered=True)
     Q = assemble_internal_force(model, qe).astype(model.dtype)
     triax = triax_components(s_c)
     flag = state.element_flag
