@@ -54,12 +54,9 @@ def _jacobian(pos_e, dtype):
     for a in range(3):
         for b in range(3):
             col = jnp.asarray(_PUS[:, a, :], dtype)        # (8k, 8i)
-            # pos_e[b, i] stays rank-1 (E,): a (1, E) version forces XLA
-            # into T(1,128) layouts (7/8 of each vreg wasted) when the
-            # slice materializes at a fusion boundary
-            acc = col[:, 0:1] * pos_e[b, 0]
+            acc = col[:, 0:1] * pos_e[b, 0][None, :]
             for i in range(1, 8):
-                acc = acc + col[:, i:i + 1] * pos_e[b, i]
+                acc = acc + col[:, i:i + 1] * pos_e[b, i][None, :]
             J[a][b] = acc                                  # (8, E)
     return J
 
@@ -162,8 +159,7 @@ def element_core(model: LoweredModel,
         eq_ps, yield_s, element_flag)
     neg = jnp.sum((_det_sign_negative(pos_e) & element_flag[None, :]),
                   dtype=jnp.int32)
-    return ElementResult(_stack_qe(qe), jnp.stack(s_c), jnp.stack(e_c),
-                         eq, y, neg)
+    return ElementResult(qe, jnp.stack(s_c), jnp.stack(e_c), eq, y, neg)
 
 
 def element_kinematics(coord_e, disp_e, disp_e_prev, edt, E: int):
@@ -173,12 +169,6 @@ def element_kinematics(coord_e, disp_e, disp_e_prev, edt, E: int):
     copies the same way keeps pos_e well-conditioned in f32 for meshes far
     from the origin (J is translation-invariant), and the differences cancel
     in the (possibly wider) kinematic dtype BEFORE the edtype cast.
-
-    Measured negative result (1M profile, round 3): building these as
-    per-row (E,) component lists does NOT avoid the T(1,128) layouts —
-    rank-1 values SLICED from a (3,8,E) array inherit the tiled layout as
-    (1,1,E) T(1,128) and the component builds ran at ~230 GB/s (2.6 ms vs
-    0.9 ms for the array form), so the (3,8,E) array form stays.
     """
     return (coord_e + (disp_e - disp_e[:, 0:1, :]).astype(edt),
             (disp_e - disp_e_prev).astype(edt))
@@ -186,18 +176,30 @@ def element_kinematics(coord_e, disp_e, disp_e_prev, edt, E: int):
 
 def element_core_c(model: LoweredModel, pos_e, du, stress_c, strain_c,
                    eq_ps, yield_s, element_flag, pre_centered=False):
-    """Component-list variant (6 x (8,E) stress/strain in and out; pos/du
-    as arrays or [b][i] row lists) — used by the fast chunk loop to avoid
-    materializing (6,8,E) and (3,8,E) stacks every step.  pre_centered=True
-    asserts pos_e's node-0 row is exactly zero (element_kinematics output)
-    so the math can skip re-centering."""
-    pdt = (pos_e[0][0].dtype if isinstance(pos_e, (list, tuple))
-           else pos_e.dtype)
+    """Component-list variant (6 x (8,E) stress/strain in and out) — used by
+    the fast chunk loop to avoid materializing (6,8,E) stacks every step.
+    pre_centered=True asserts pos_e's node-0 row is exactly zero
+    (element_kinematics output) so the math can skip re-centering."""
     return _math_maybe_slabbed(
         model, model.pl_tables, model.mat_id, model.G_e, model.lam_e,
-        model.has_plastic_e, jnp.asarray(_PUS, pdt), pos_e, du,
+        model.has_plastic_e, jnp.asarray(_PUS, pos_e.dtype), pos_e, du,
         stress_c, strain_c, eq_ps, yield_s, element_flag,
         pre_centered=pre_centered)
+
+
+def _rows_of(x):
+    """(3, 8, B) array -> nested [b][i] list of (B,) rows (identity on an
+    already-listed input)."""
+    if isinstance(x, (list, tuple)):
+        return x
+    return [[x[b, i] for i in range(8)] for b in range(3)]
+
+
+def _stack_qe(qe):
+    """Stack nested qe rows into (3, 8, B); identity on an array."""
+    if isinstance(qe, (list, tuple)):
+        return jnp.stack([jnp.stack(r) for r in qe])
+    return qe
 
 
 def _resolve_slab(model: LoweredModel, E: int) -> int:
@@ -216,8 +218,7 @@ def _resolve_slab(model: LoweredModel, E: int) -> int:
 def _math_maybe_slabbed(model, pl_tables, mat_id, G_e, lam_e, has_plastic_e,
                         pus, pos_e, du, stress, strain, eq_ps, yield_s,
                         element_flag, pre_centered=False):
-    E = (pos_e[0][0].shape[-1] if isinstance(pos_e, (list, tuple))
-         else pos_e.shape[-1])
+    E = pos_e.shape[-1]
     slab = _resolve_slab(model, E)
     if not slab:
         return _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e,
@@ -230,13 +231,10 @@ def _math_maybe_slabbed(model, pl_tables, mat_id, G_e, lam_e, has_plastic_e,
         idx = (z,) * (a.ndim - 1) + (start,)
         return jax.lax.dynamic_slice(a, idx, a.shape[:-1] + (slab,))
 
-    def slt(t, start):       # tree-aware (pos/du may be [b][i] row lists)
-        return jax.tree_util.tree_map(lambda a: sl(a, start), t)
-
     def run_slab(start):
         return _element_math(
             pl_tables, sl(mat_id, start), sl(G_e, start), sl(lam_e, start),
-            sl(has_plastic_e, start), pus, slt(pos_e, start), slt(du, start),
+            sl(has_plastic_e, start), pus, sl(pos_e, start), sl(du, start),
             [sl(s, start) for s in stress], [sl(e, start) for e in strain],
             sl(eq_ps, start), sl(yield_s, start), sl(element_flag, start),
             pre_centered=pre_centered)
@@ -305,20 +303,6 @@ def _hardening_slope_tab(pl_tables, mat, eq_ps):
     return H
 
 
-def _rows_of(x):
-    """(3, 8, B) array -> nested [b][i] list of (B,) rows (identity on an
-    already-listed input).  Keeping per-row (B,) arrays instead of (1, B)
-    slices avoids XLA's T(1,128) slice materializations (1M profile:
-    fusion.49, 977 us/step of pure slicing at 152 GB/s)."""
-    if isinstance(x, (list, tuple)):
-        return x
-    return [[x[b, i] for i in range(8)] for b in range(3)]
-
-
-def _stack_qe(qe_rows):
-    return jnp.stack([jnp.stack(r) for r in qe_rows])
-
-
 def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
                   pos_e, du, stress, strain, eq_ps, yield_s, element_flag,
                   pre_centered=False):
@@ -326,13 +310,11 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
 
     Written against lax primitives only so it can run both as a plain traced
     function and inside a Pallas kernel body.  ``stress``/``strain`` are
-    6-component sequences of (8,B) arrays in and out; ``pos_e``/``du`` are
-    (3,8,B) arrays or nested [b][i] row lists (see _rows_of).  Returns
-    (qe_rows [b][i] of (B,), stress6, strain6, eq_ps, yield_s).
+    6-component sequences of (8,B) arrays in and out (avoids materializing
+    (6,8,B) stacks — worth ~0.3 ms/step at 131k elements).  Returns
+    (Qe, stress6, strain6, eq_ps, yield_s).
     """
-    pos_r = _rows_of(pos_e)
-    du_r = _rows_of(du)
-    dtype = pos_r[0][0].dtype
+    dtype = pos_e.dtype
 
     # Center coordinates on each element's first node before the Jacobian.
     # J is translation-invariant, and in f32 this removes the catastrophic
@@ -341,23 +323,18 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     # ~2.4e-4 mm, injecting ~2% strain noise per step that destabilizes the
     # run; the f64 reference never sees this).  The fast chunk paths build
     # pos_e = coord_e + (disp_e - disp_e[node0]) from the lowering-time
-    # node-0-centered coord_e (core/lowering.py:863), so their row 0 is
-    # exactly zero and re-centering would subtract exact zeros — they pass
-    # pre_centered=True to skip the 24 (B,) subtract ops.
+    # node-0-centered coord_e, so their row 0 is exactly zero and they pass
+    # pre_centered=True to skip the re-centering subtracts.
     if not pre_centered:
-        pos_r = [[pos_r[b][i] - pos_r[b][0] for i in range(8)]
-                 for b in range(3)]
+        pos_e = pos_e - pos_e[:, 0:1, :]
 
-    # jacobian: J[a][b] = sum_i pus[k,a,i] * pos[b,i].  The pos_e/du row
-    # slices stay rank-1 (B,): (1, B) slices materialize at fusion
-    # boundaries in T(1,128) layouts that run at ~150 GB/s (1M profile,
-    # fusion.49) — (B,) slices take the efficient T(1024) 1-D layout.
+    # jacobian: J[a][b] = sum_i pus[k,a,i] * pos[b,i]
     J = [[None] * 3 for _ in range(3)]
     for a in range(3):
         for b in range(3):
-            acc = pus[:, a, 1:2] * pos_r[b][1]
+            acc = pus[:, a, 1:2] * pos_e[b, 1][None, :]
             for i in range(2, 8):
-                acc = acc + pus[:, a, i:i + 1] * pos_r[b][i]
+                acc = acc + pus[:, a, i:i + 1] * pos_e[b, i][None, :]
             J[a][b] = acc                               # (8, B)
     detJ = _det3(J)                                     # (8, B) raw (signed)
     # V and BVbar use |detJ| (cal_BVbar_hexa, HAKAI_j.jl:1736-1740);
@@ -382,9 +359,9 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     Gdu = [[None] * 3 for _ in range(3)]
     for c in range(3):
         for b in range(3):
-            acc = pus[:, c, 0:1] * du_r[b][0]
+            acc = pus[:, c, 0:1] * du[b, 0][None, :]
             for i in range(1, 8):
-                acc = acc + pus[:, c, i:i + 1] * du_r[b][i]
+                acc = acc + pus[:, c, i:i + 1] * du[b, i][None, :]
             Gdu[c][b] = acc                             # (8, B)
     g = [[None] * 3 for _ in range(3)]
     for a in range(3):
@@ -394,11 +371,7 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
                 acc = acc + invJ[a][c] * Gdu[c][b]
             g[a][b] = acc                               # (8, B)
     tr = g[0][0] + g[1][1] + g[2][2]
-    # volbar stays rank-1 (B,): a (1, B) version forces XLA into T(1,128)
-    # layouts that waste 7/8 of every vector register — fusion.49 in the 1M
-    # profile ran at 152 GB/s on (1,1,E) arrays for exactly this reason.
-    # numpy broadcasting aligns trailing axes, so (8,B) op (B,) is fine.
-    volbar = (detJ_abs * tr).sum(axis=0) * inv_V / 3.0              # (B,)
+    volbar = ((detJ_abs * tr).sum(axis=0) * inv_V / 3.0)[None, :]   # (1, B)
 
     de = [
         g[0][0] - tr / 3.0 + volbar,
@@ -409,33 +382,30 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
         g[0][2] + g[2][0],
     ]                                                   # 6 x (8, B)
 
-    tr_de = 3.0 * volbar                                # (B,) == sum de[0:3]
+    tr_de = 3.0 * volbar                                # == de[0]+de[1]+de[2]
     dsig = [lam_e * tr_de + 2.0 * G_e * de[c] for c in range(3)] + \
            [G_e * de[c] for c in range(3, 6)]           # 6 x (8, B)
 
     trial = [stress[c] + dsig[c] for c in range(6)]
     mean_s = (trial[0] + trial[1] + trial[2]) / 3.0     # (8,B)
-    # the deviator is never materialized: dev[c] = trial[c] - mean_s is
-    # re-expressed at each use (same FP ops, one fewer 6x(8,B) intermediate
-    # with multiple consumers for XLA to spill)
-    vm = jnp.sqrt(1.5 * ((trial[0] - mean_s)**2 + (trial[1] - mean_s)**2
-                         + (trial[2] - mean_s)**2
-                         + 2.0 * (trial[3]**2 + trial[4]**2 + trial[5]**2)))
+    dev = [trial[0] - mean_s, trial[1] - mean_s, trial[2] - mean_s,
+           trial[3], trial[4], trial[5]]
+    vm = jnp.sqrt(1.5 * (dev[0]**2 + dev[1]**2 + dev[2]**2
+                         + 2.0 * (dev[3]**2 + dev[4]**2 + dev[5]**2)))
 
     # --- J2 radial return with piecewise-linear isotropic hardening
     # (HAKAI_j.jl:1227-1285); table walk unrolled per material.
     H = _hardening_slope_tab(pl_tables, mat_id, eq_ps)             # (8,B)
 
-    is_plastic = has_plastic_e & (vm > yield_s) & element_flag   # (8,B)
+    is_plastic = has_plastic_e[None, :] & (vm > yield_s) \
+        & element_flag[None, :]
     safe_vm = _w(vm == 0, 1.0, vm)
     d_ep = _w(is_plastic, (vm - yield_s) / (3.0 * G_e + H), 0.0)
     scale = _w(is_plastic, (yield_s + H * d_ep) / safe_vm, 1.0)
-    final = [_w(is_plastic,
-                ((trial[c] - mean_s) * scale + mean_s) if c < 3
-                else trial[c] * scale,
+    final = [_w(is_plastic, dev[c] * scale + (mean_s if c < 3 else 0.0),
                 trial[c]) for c in range(6)]
 
-    alive = element_flag                                 # (B,) -> (8,B)
+    alive = element_flag[None, :]                        # (1,B) -> (8,B)
     new_eq = _w(alive & is_plastic, eq_ps + d_ep, eq_ps)
     new_y = _w(alive & is_plastic, yield_s + H * d_ep, yield_s)
     new_stress = [_w(alive, final[c], stress[c]) for c in range(6)]
@@ -464,17 +434,19 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
             acc = invJ[0][c] * s_t[0][b] + invJ[1][c] * s_t[1][b] \
                 + invJ[2][c] * s_t[2][b]
             acc = acc - invJ[b][c] * sig_m
-            M[c][b] = w * acc + wdet * (invJ[b][c] * sum_w_sig_m)
-    qe_rows = []
+            M[c][b] = w * acc + wdet * (invJ[b][c] * sum_w_sig_m[None, :])
+    rows = []
     for b in range(3):
         cols = []
         for i in range(8):
             t = pus[:, 0, i:i + 1] * M[0][b] + pus[:, 1, i:i + 1] * M[1][b] \
                 + pus[:, 2, i:i + 1] * M[2][b]
-            cols.append(_w(element_flag, t.sum(axis=0), 0.0))   # (B,)
-        qe_rows.append(cols)
+            cols.append(t.sum(axis=0))                   # (B,)
+        rows.append(jnp.stack(cols))                     # (8, B)
+    Qe = jnp.stack(rows)                                 # (3, 8, B)
+    Qe = _w(element_flag[None, None, :], Qe, 0.0)
 
-    return qe_rows, new_stress, new_strain, new_eq, new_y
+    return Qe, new_stress, new_strain, new_eq, new_y
 
 
 def assemble_internal_force(model: LoweredModel, Qe: jnp.ndarray) -> jnp.ndarray:
@@ -484,20 +456,15 @@ def assemble_internal_force(model: LoweredModel, Qe: jnp.ndarray) -> jnp.ndarray
     Float128 buffer trick at :435,511-517) with a precomputed incidence table:
     each node sums its (element, slot) contributions in a fixed order.
     """
-    qdtype = (Qe.dtype if not isinstance(Qe, (list, tuple))
-              else Qe[0][0].dtype)
+    Qe = _stack_qe(Qe)
     if (model.plan_asm2 is not None and model.E >= _PHYS_ASM_MIN_E
-            and jax.default_backend() == "tpu" and qdtype.itemsize <= 4):
+            and jax.default_backend() == "tpu" and Qe.dtype.itemsize <= 4):
         # physical-layout kernel: takes (3, 8, E) directly — no channel
         # concat, no row-major relayout, one output write per node tile.
-        # Only pays off in the HBM-spill regime: at 131k (VMEM-resident)
-        # the pad-stack source costs ~90 us while the row-space gather it
-        # replaces is already cheap; at 1M it saves ~2 ms/step (relayouts
-        # + DMA-issue serialization of the 4248-tile row-space plan).
+        # Only pays off in the HBM-spill regime (at 131k the row-space
+        # gather it replaces is already cheap; at 1M it saves ~2 ms/step).
         from .gather_pallas import blocked_assemble_phys
         return blocked_assemble_phys(Qe, model.plan_asm2)[:, :model.N]
-    if isinstance(Qe, (list, tuple)):
-        Qe = _stack_qe(Qe)
     qf = Qe.reshape(3, -1)                   # (3, 8*E), index i*E+e
     if model.plan_asm is not None and model.plan_asm.vl > 0:
         # in-kernel accumulation over the vl lanes (node-block-major plan)

@@ -483,13 +483,15 @@ def _halo_step_fast(hm: HaloModel, lm: LoweredModel, s: HaloState,
         s.element_flag, pre_centered=True)
     fw = assemble_internal_force(lm, qe).astype(base.dtype)   # (3, W)
     Q = _return_ghosts(fw, H)
+    # deferred erosion zeroing — see solver.explicit.step_fast
     triax = triax_components(s_c)
+    if base.fracture_enabled:
+        # dead elements carry stale stress under deferred zeroing; the
+        # reference's triax for them is 0 (recomputed from zeroed stress)
+        triax = jnp.where(s.element_flag[None, :], triax, 0.0)
     flag = s.element_flag
     if base.fracture_enabled:
         flag, delete = erosion_delete_mask(lm, eq, triax, flag)
-        keep = ~delete[None, :]
-        s_c = [jnp.where(keep, x, 0.0) for x in s_c]
-        e_c = [jnp.where(keep, x, 0.0) for x in e_c]
     new = s.replace(t=t, disp=disp_new, disp_pre=s.disp, velo=velo, Q=Q,
                     eq_ps=eq, yield_s=y, triax=triax, element_flag=flag)
     return new, disp_e, tuple(s_c), tuple(e_c), flag
@@ -604,7 +606,9 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
                        else jnp.zeros((0,), bool))
             out, _, sc, ec, _ = jax.lax.fori_loop(
                 0, n_steps, stepb, (s0, disp_e0, sc0, ec0, fg_init))
-            out = out.replace(stress=jnp.stack(sc), strain=jnp.stack(ec))
+            keep = out.element_flag[None, None, :]  # deferred erosion zeroing
+            out = out.replace(stress=jnp.where(keep, jnp.stack(sc), 0.0),
+                              strain=jnp.where(keep, jnp.stack(ec), 0.0))
         else:
             if carry_fg:
                 def stepg(_, c):

@@ -260,13 +260,15 @@ def _sharded_step_fast(lm: LoweredModel, state: SimState, disp_e_prev,
         lm, pos_r, du_r, stress_c, strain_c, state.eq_ps, state.yield_s,
         state.element_flag, pre_centered=True)
     Q = _sharded_assemble(lm, qe)
+    # deferred erosion zeroing — see solver.explicit.step_fast
     triax = triax_components(s_c)
+    if lm.fracture_enabled:
+        # dead elements carry stale stress under deferred zeroing; the
+        # reference's triax for them is 0 (recomputed from zeroed stress)
+        triax = jnp.where(state.element_flag[None, :], triax, 0.0)
     flag = state.element_flag
     if lm.fracture_enabled:
         flag, delete = erosion_delete_mask(lm, eq, triax, flag)
-        keep = ~delete[None, :]
-        s_c = [jnp.where(keep, s, 0.0) for s in s_c]
-        e_c = [jnp.where(keep, e, 0.0) for e in e_c]
     new_state = state.replace(
         t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
         eq_ps=eq, yield_s=y, triax=triax, element_flag=flag,
@@ -314,7 +316,9 @@ def make_sharded_step(model: LoweredModel, mesh: Mesh, n_steps: int = 1):
 
             out, _, s_c, e_c = jax.lax.fori_loop(
                 0, n_steps, stepb, (s0, disp_e0, stress_c0, strain_c0))
-            return out.replace(stress=jnp.stack(s_c), strain=jnp.stack(e_c))
+            keep = out.element_flag[None, None, :]  # deferred erosion zeroing
+            return out.replace(stress=jnp.where(keep, jnp.stack(s_c), 0.0),
+                               strain=jnp.where(keep, jnp.stack(e_c), 0.0))
         return jax.lax.fori_loop(
             0, n_steps, lambda _, t: _sharded_step(lm, t, flag_g0), s)
 

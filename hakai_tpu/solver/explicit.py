@@ -141,11 +141,14 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
     In mixed mode the carry stays f64: both kinematic differences (the du
     increment and the node-0 centering) cancel in f64 *before* the cast to
     the f32 element dtype, so no cancellation noise enters the strain
-    increments — same contract as the generic ``step``."""
-    from ..ops.element import element_core_c, gather_disp_e, triax_components
-    from ..ops.erosion import erosion_delete_mask
+    increments — same contract as the generic ``step``.
 
-    from ..ops.element import element_kinematics
+    (A 24×(E,) rank-1 row carry with lazy kinematics was measured at 1M and
+    131k, round 3: XLA conserves the fusion-boundary traffic either way —
+    1M 15.9→15.8 ms, 131k −7%.  The (3,8,E) carry stays.)"""
+    from ..ops.element import element_core_c, element_kinematics, \
+        gather_disp_e, triax_components
+    from ..ops.erosion import erosion_delete_mask
 
     edt = model.edtype
     t, disp_new, velo, cforce = _integrate(model, state)
@@ -156,13 +159,21 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
         model, pos_r, du_r, stress_c, strain_c, state.eq_ps, state.yield_s,
         state.element_flag, pre_centered=True)
     Q = assemble_internal_force(model, qe).astype(model.dtype)
+    # Deferred erosion zeroing: dead elements keep stale stress/strain in the
+    # chunk carry (the math passes old state through for ~alive and every
+    # consumer masks by flag); run_chunk masks the state once at chunk exit
+    # instead of 12 (8,E) select passes per step.  triax is masked with the
+    # PRE-erosion flag so a just-deleted element keeps its final stale triax
+    # for exactly one step, as the reference does (erosion zeroes only
+    # stress/strain, HAKAI_j.jl:744-757; triax recomputes to 0 next step).
     triax = triax_components(s_c)
+    if model.fracture_enabled:
+        # dead elements carry stale stress under deferred zeroing; the
+        # reference's triax for them is 0 (recomputed from zeroed stress)
+        triax = jnp.where(state.element_flag[None, :], triax, 0.0)
     flag = state.element_flag
     if model.fracture_enabled:
         flag, delete = erosion_delete_mask(model, eq, triax, flag)
-        keep = ~delete[None, :]
-        s_c = [jnp.where(keep, s, 0.0) for s in s_c]
-        e_c = [jnp.where(keep, e, 0.0) for e in e_c]
     new_state = state.replace(
         t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
         eq_ps=eq, yield_s=y, triax=triax, element_flag=flag,
@@ -192,13 +203,12 @@ def step_fast_packed(model: LoweredModel, state: SimState, disp_e_prev, P):
     Q = assemble_internal_force(model, qe.reshape(3, 8, E)
                                 ).astype(model.dtype)
     s_rows = [P_new[8 * c:8 * (c + 1)] for c in range(6)]
-    triax = triax_components(s_rows)
+    # deferred erosion zeroing — see step_fast
+    triax = jnp.where(state.element_flag[None, :],
+                      triax_components(s_rows), 0.0)
     flag = state.element_flag
     if model.fracture_enabled:
         flag, delete = erosion_delete_mask(model, P_new[96:104], triax, flag)
-        keep = ~delete[None, :]
-        P_new = jnp.concatenate(
-            [jnp.where(keep, P_new[:96], 0.0), P_new[96:]], axis=0)
     new_state = state.replace(
         t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
         triax=triax, element_flag=flag, contact_force=cforce)
@@ -224,8 +234,8 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
     if model.coord_e is not None:
         from ..ops.element import gather_disp_e, pallas_core_ok
 
-        disp_e0 = gather_disp_e(model, state.disp)
         if pallas_core_ok(model, model.E, model.edtype):
+            disp_e0 = gather_disp_e(model, state.disp)
             E = model.E
             P0 = pack_gauss_state(state, E)
             dummy = jnp.zeros((0,), model.dtype)
@@ -235,11 +245,15 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
                 0, n_steps,
                 lambda _, c: step_fast_packed(model, c[0], c[1], c[2]),
                 (s0, disp_e0, P0))
+            P = jnp.concatenate(           # deferred erosion zeroing
+                [jnp.where(out.element_flag[None, :], P[:96], 0.0), P[96:]],
+                axis=0)
             return unpack_gauss_state(out, P, E)
         stress_c0 = tuple(state.stress[c] for c in range(6))
         strain_c0 = tuple(state.strain[c] for c in range(6))
         dummy = jnp.zeros((0,), model.dtype)
         s0 = state.replace(stress=dummy, strain=dummy)
+        disp_e0 = gather_disp_e(model, state.disp)
 
         def body(_, carry):
             s, de, sc, ec = carry
@@ -247,7 +261,9 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
 
         out, _, s_c, e_c = jax.lax.fori_loop(
             0, n_steps, body, (s0, disp_e0, stress_c0, strain_c0))
-        return out.replace(stress=jnp.stack(s_c), strain=jnp.stack(e_c))
+        keep = out.element_flag[None, None, :]   # deferred erosion zeroing
+        return out.replace(stress=jnp.where(keep, jnp.stack(s_c), 0.0),
+                           strain=jnp.where(keep, jnp.stack(e_c), 0.0))
     return jax.lax.fori_loop(0, n_steps, lambda _, s: step(model, s), state)
 
 
