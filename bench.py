@@ -32,7 +32,9 @@ def main():
     n2 = int(os.environ.get("BENCH_N2", 400))
     n_dev = len(jax.devices())
     cfg = SolverConfig(dtype="float32", node_pad=128,
-                       elem_pad=128 * max(1, n_dev))
+                       elem_pad=128 * max(1, n_dev),
+                       elem_slab=int(os.environ.get("BENCH_SLAB", 0)),
+                       element_kernel=os.environ.get("BENCH_EKERNEL", "auto"))
     model = lower(bar_model(nx=nx, ny=ny, nz=nz, d_time=1e-8, end_time=1.0),
                   cfg)
     state = init_state(model)

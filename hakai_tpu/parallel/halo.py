@@ -126,7 +126,11 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
     exists = np.asarray(model.elem_exists)
 
     owner = np.clip(elem.min(axis=0) // No, 0, n_shards - 1)    # (E,)
-    owner = np.where(exists, owner, n_shards - 1)  # park padding on last shard
+    # padding elements carry no state and are pure ballast — leave them
+    # unassigned (they resolve through eg_inv's False pad slot and
+    # gather_state's zero fill) instead of parking them all on one shard,
+    # which made every shard pay the last shard's padded element count
+    owner = np.where(exists, owner, -1)
     El = 0
     shard_elems = []
     for d in range(n_shards):
