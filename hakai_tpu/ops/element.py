@@ -33,10 +33,27 @@ import numpy as np
 
 from ..core.lowering import LoweredModel
 from .gather_pallas import blocked_assemble, blocked_gather
-from .shape import pusai_hexa
+from .shape import _DELTA, _G, _GC, pusai_hexa
 
 # static shape-gradient coefficients, unrolled at trace time
 _PUS = pusai_hexa(8)          # (8 gauss, 3 axis, 8 node) float64 numpy
+
+# --- tensor-product structure of the trilinear basis (shape.py):
+#   pus[k,a,i] = 0.125*(P0_i + g*G1_k*P1_i + g*G2_k*P2_i + g^2*G1G2_k*P3_i)
+# with node sign patterns P* in {+-1}^8 and Gauss sign vectors G* in
+# {+-1}^8 (g = 1/sqrt(3)).  The i-contractions (J, Gdu) collapse to 7
+# signed node moments per displacement component, and the k-contraction
+# (Qe) to 4 signed Gauss moments per (c, b) — ~2x fewer build flops and,
+# critically, no rank-1 slices of pos/du anywhere (XLA materialized those
+# as (1,1,E) T(1,128) buffers at ~150 GB/s in the 1M profile).
+_MOM_PATS = np.stack([
+    _DELTA[:, 0], _DELTA[:, 1], _DELTA[:, 2],
+    _DELTA[:, 0] * _DELTA[:, 1], _DELTA[:, 0] * _DELTA[:, 2],
+    _DELTA[:, 1] * _DELTA[:, 2],
+    _DELTA[:, 0] * _DELTA[:, 1] * _DELTA[:, 2]])          # (7 pat, 8 node)
+_AXIS_MOM = ((0, 3, 4, 6), (1, 3, 5, 6), (2, 4, 5, 6))    # pattern ids/axis
+_GSIGN = _GC / _G                                         # (8 gauss, 3) +-1
+_AXIS_G = ((1, 2), (0, 2), (0, 1))                        # modulating axes
 
 
 class ElementResult(NamedTuple):
@@ -49,16 +66,10 @@ class ElementResult(NamedTuple):
 
 
 def _jacobian(pos_e, dtype):
-    """J[a][b] as (8,E) arrays: J_ab = sum_i pusai[k,a,i] * pos[b,i,e]."""
-    J = [[None] * 3 for _ in range(3)]
-    for a in range(3):
-        for b in range(3):
-            col = jnp.asarray(_PUS[:, a, :], dtype)        # (8k, 8i)
-            acc = col[:, 0:1] * pos_e[b, 0][None, :]
-            for i in range(1, 8):
-                acc = acc + col[:, i:i + 1] * pos_e[b, i][None, :]
-            J[a][b] = acc                                  # (8, E)
-    return J
+    """J[a][b] as (8,E) arrays: J_ab = sum_i pusai[k,a,i] * pos[b,i,e]
+    (moment form — every _MOM_PATS pattern sums to zero over the nodes, so
+    the result is translation-invariant like the direct contraction)."""
+    return _expand_axis_moments(_node_moments(pos_e, dtype), dtype)
 
 
 def _det3(J):
@@ -152,7 +163,7 @@ def element_core(model: LoweredModel,
                           dtype=jnp.int32)
             res = res._replace(neg_jacobian=neg)
         return res
-    qe, s_c, e_c, eq, y = _math_maybe_slabbed(
+    qe, s_c, e_c, eq, y, _ = _math_maybe_slabbed(
         model, model.pl_tables, model.mat_id, model.G_e, model.lam_e,
         model.has_plastic_e, jnp.asarray(_PUS, pos_e.dtype), pos_e, du,
         [stress[c] for c in range(6)], [strain[c] for c in range(6)],
@@ -265,6 +276,11 @@ _TILE_E = 1024
 # phys-layout assembly only above this element count (see
 # assemble_internal_force; measured crossover between the 131k and 1M bars)
 _PHYS_ASM_MIN_E = 400_000
+# moment-form J/Gdu/Qe builds only above this element-block size (the
+# sublane reduces cost more vector ops than the direct 8-FMA contraction,
+# which wins while temporaries are VMEM-resident; in the HBM-spill regime
+# the moment form removes the T(1,128) slice materializations)
+_MOMENT_MIN_B = 400_000
 
 
 def _det_sign_negative(pos_e):
@@ -303,6 +319,40 @@ def _hardening_slope_tab(pl_tables, mat, eq_ps):
     return H
 
 
+def _node_moments(x, dtype):
+    """(3, 8, B) nodal field -> [b][p] signed node moments (B,) for the 7
+    patterns in _MOM_PATS (sublane-weighted reduces; reads x in its natural
+    (8, B) layout — no rank-1 row slices)."""
+    out = []
+    for b in range(3):
+        xb = x[b]                                       # (8, B)
+        mb = []
+        for p in range(7):
+            w = jnp.asarray(_MOM_PATS[p][:, None], dtype)
+            mb.append((xb * w).sum(axis=0))             # (B,)
+        out.append(mb)
+    return out
+
+
+def _expand_axis_moments(mom, dtype):
+    """[b][p] node moments -> [a][b] (8 Gauss, B) parent-space gradients
+    (J when fed position moments, Gdu when fed displacement moments)."""
+    out = [[None] * 3 for _ in range(3)]
+    for a in range(3):
+        i0, i1, i2, i3 = _AXIS_MOM[a]
+        g1, g2 = _AXIS_G[a]
+        c1 = jnp.asarray(0.125 * _G * _GSIGN[:, g1][:, None], dtype)
+        c2 = jnp.asarray(0.125 * _G * _GSIGN[:, g2][:, None], dtype)
+        c3 = jnp.asarray(
+            0.125 * _G * _G * (_GSIGN[:, g1] * _GSIGN[:, g2])[:, None], dtype)
+        for b in range(3):
+            out[a][b] = ((0.125 * mom[b][i0])[None, :]
+                         + c1 * mom[b][i1][None, :]
+                         + c2 * mom[b][i2][None, :]
+                         + c3 * mom[b][i3][None, :])    # (8, B)
+    return out
+
+
 def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
                   pos_e, du, stress, strain, eq_ps, yield_s, element_flag,
                   pre_centered=False):
@@ -328,14 +378,23 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     if not pre_centered:
         pos_e = pos_e - pos_e[:, 0:1, :]
 
-    # jacobian: J[a][b] = sum_i pus[k,a,i] * pos[b,i]
-    J = [[None] * 3 for _ in range(3)]
-    for a in range(3):
-        for b in range(3):
-            acc = pus[:, a, 1:2] * pos_e[b, 1][None, :]
-            for i in range(2, 8):
-                acc = acc + pus[:, a, i:i + 1] * pos_e[b, i][None, :]
-            J[a][b] = acc                               # (8, B)
+    # jacobian: J[a][b] = sum_i pus[k,a,i] * pos[b,i].  Two equivalent
+    # builds: the direct 8-FMA contraction (fewer vector ops — wins while
+    # every temporary is VMEM-resident) and the 7-signed-node-moment form
+    # (see _MOM_PATS — no rank-1 pos/du slices for XLA to materialize as
+    # T(1,128) buffers, wins in the HBM-spill regime; measured crossover
+    # ~400k elements, same gate as the phys-layout assembly).
+    use_moments = pos_e.shape[-1] >= _MOMENT_MIN_B
+    if use_moments:
+        J = _expand_axis_moments(_node_moments(pos_e, dtype), dtype)
+    else:
+        J = [[None] * 3 for _ in range(3)]
+        for a in range(3):
+            for b in range(3):
+                acc = pus[:, a, 1:2] * pos_e[b, 1][None, :]
+                for i in range(2, 8):
+                    acc = acc + pus[:, a, i:i + 1] * pos_e[b, i][None, :]
+                J[a][b] = acc                           # (8, B)
     detJ = _det3(J)                                     # (8, B) raw (signed)
     # V and BVbar use |detJ| (cal_BVbar_hexa, HAKAI_j.jl:1736-1740);
     # the Qe weight uses the raw detJ (cal_Bfinal, HAKAI_j.jl:1442).
@@ -356,13 +415,16 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     # displacement gradient g[a][b] = d u_b / d x_a
     #   = sum_i P[a][i] du[b,i] = sum_c invJ[a][c] * Gdu[c][b]
     # with Gdu[c][b] = sum_i pus[k,c,i] du[b,i] (reference-coordinate grad).
-    Gdu = [[None] * 3 for _ in range(3)]
-    for c in range(3):
-        for b in range(3):
-            acc = pus[:, c, 0:1] * du[b, 0][None, :]
-            for i in range(1, 8):
-                acc = acc + pus[:, c, i:i + 1] * du[b, i][None, :]
-            Gdu[c][b] = acc                             # (8, B)
+    if use_moments:
+        Gdu = _expand_axis_moments(_node_moments(du, dtype), dtype)
+    else:
+        Gdu = [[None] * 3 for _ in range(3)]
+        for c in range(3):
+            for b in range(3):
+                acc = pus[:, c, 0:1] * du[b, 0][None, :]
+                for i in range(1, 8):
+                    acc = acc + pus[:, c, i:i + 1] * du[b, i][None, :]
+                Gdu[c][b] = acc                         # (8, B)
     g = [[None] * 3 for _ in range(3)]
     for a in range(3):
         for b in range(3):
@@ -405,11 +467,27 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     final = [_w(is_plastic, dev[c] * scale + (mean_s if c < 3 else 0.0),
                 trial[c]) for c in range(6)]
 
-    alive = element_flag[None, :]                        # (1,B) -> (8,B)
-    new_eq = _w(alive & is_plastic, eq_ps + d_ep, eq_ps)
-    new_y = _w(alive & is_plastic, yield_s + H * d_ep, yield_s)
-    new_stress = [_w(alive, final[c], stress[c]) for c in range(6)]
-    new_strain = [_w(alive, strain[c] + de[c], strain[c]) for c in range(6)]
+    # No per-step alive-select on stress/strain: padding lanes stay exactly
+    # zero through the whole pipeline (pos_e rows are exact zeros -> detJ=0
+    # -> guarded inv_V/invJ -> de=0 -> trial=stress=0), and dead lanes under
+    # fracture carry don't-care values that every consumer masks by flag
+    # (qe below, triax + the chunk-exit zeroing in solver/parallel steppers,
+    # erode's full-flag mask on the generic path).  eq/yield keep the
+    # is_plastic gate, which already includes element_flag, so dead lanes
+    # stay frozen exactly as the reference leaves them (HAKAI_j.jl:744-757).
+    new_eq = _w(is_plastic, eq_ps + d_ep, eq_ps)
+    new_y = _w(is_plastic, yield_s + H * d_ep, yield_s)
+    new_stress = final
+    new_strain = [strain[c] + de[c] for c in range(6)]
+
+    # Measured negative result (round 3): computing triaxiality here "for
+    # free" from the return map (mean preserved; final vm = new yield for
+    # plastic points, trial vm otherwise) regressed BOTH regimes — 131k
+    # 1.47e8 -> 1.44e8 and 1M 7.2e7 -> 6.7e7 elem-steps/s — because the
+    # extra vm_f/mean_s consumers make XLA restructure the state-update
+    # fusion (more live values -> more spill) by more than the standalone
+    # triax re-read fusion costs.  Callers keep triax_components.
+    triax = None
 
     # --- internal force ---
     # f_k[i,b] = sum_a P[a][i] sig[a,b] - (P[b][i] - Pbar[b,i]) sig_m
@@ -435,18 +513,50 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
                 + invJ[2][c] * s_t[2][b]
             acc = acc - invJ[b][c] * sig_m
             M[c][b] = w * acc + wdet * (invJ[b][c] * sum_w_sig_m[None, :])
-    rows = []
-    for b in range(3):
-        cols = []
-        for i in range(8):
-            t = pus[:, 0, i:i + 1] * M[0][b] + pus[:, 1, i:i + 1] * M[1][b] \
-                + pus[:, 2, i:i + 1] * M[2][b]
-            cols.append(t.sum(axis=0))                   # (B,)
-        rows.append(jnp.stack(cols))                     # (8, B)
-    Qe = jnp.stack(rows)                                 # (3, 8, B)
+    if use_moments:
+        # Qe[b,i] = sum_c sum_k pus[k,c,i]*M[c][b][k]: contract over Gauss k
+        # first (4 signed Gauss moments per (c,b)), then expand over nodes i
+        # with constant sign columns — each (8node, B) row builds directly in
+        # its natural layout, no per-(b,i) rank-1 results to restack.
+        rows = []
+        for b in range(3):
+            acc = None
+            for c in range(3):
+                i0, i1, i2, i3 = _AXIS_MOM[c]
+                g1, g2 = _AXIS_G[c]
+                w1 = jnp.asarray(_GSIGN[:, g1][:, None], dtype)
+                w2 = jnp.asarray(_GSIGN[:, g2][:, None], dtype)
+                w12 = jnp.asarray(
+                    (_GSIGN[:, g1] * _GSIGN[:, g2])[:, None], dtype)
+                Mc = M[c][b]
+                R0 = Mc.sum(axis=0)                      # (B,)
+                R1 = (Mc * w1).sum(axis=0)
+                R2 = (Mc * w2).sum(axis=0)
+                R3 = (Mc * w12).sum(axis=0)
+                p0 = jnp.asarray(0.125 * _MOM_PATS[i0][:, None], dtype)
+                p1 = jnp.asarray(0.125 * _G * _MOM_PATS[i1][:, None], dtype)
+                p2 = jnp.asarray(0.125 * _G * _MOM_PATS[i2][:, None], dtype)
+                p3 = jnp.asarray(
+                    0.125 * _G * _G * _MOM_PATS[i3][:, None], dtype)
+                t = (p0 * R0[None, :] + p1 * R1[None, :]
+                     + p2 * R2[None, :] + p3 * R3[None, :])  # (8 node, B)
+                acc = t if acc is None else acc + t
+            rows.append(acc)
+        Qe = jnp.stack(rows)                             # (3, 8, B)
+    else:
+        rows = []
+        for b in range(3):
+            cols = []
+            for i in range(8):
+                t = pus[:, 0, i:i + 1] * M[0][b] \
+                    + pus[:, 1, i:i + 1] * M[1][b] \
+                    + pus[:, 2, i:i + 1] * M[2][b]
+                cols.append(t.sum(axis=0))               # (B,)
+            rows.append(jnp.stack(cols))                 # (8, B)
+        Qe = jnp.stack(rows)                             # (3, 8, B)
     Qe = _w(element_flag[None, None, :], Qe, 0.0)
 
-    return Qe, new_stress, new_strain, new_eq, new_y
+    return Qe, new_stress, new_strain, new_eq, new_y, triax
 
 
 def assemble_internal_force(model: LoweredModel, Qe: jnp.ndarray) -> jnp.ndarray:

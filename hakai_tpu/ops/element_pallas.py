@@ -29,7 +29,7 @@ def _make_kernel(pl_tables):
         hasp = hasp_ref[0] != 0
         stress_c = [stress_ref[c] for c in range(6)]
         strain_c = [strain_ref[c] for c in range(6)]
-        qe, s_c, e_c, eq, y = _el._element_math(
+        qe, s_c, e_c, eq, y, _ = _el._element_math(
             pl_tables, mat_ref[0], G_ref[0], lam_ref[0], hasp, pus_ref[:],
             pos_ref[:], du_ref[:], stress_c, strain_c,
             eq_ref[:], y_ref[:], flag)
@@ -102,7 +102,7 @@ def _make_packed_kernel(pl_tables, TE):
         y = P_ref[104:112]
         pos_e = pos_ref[:].reshape(3, 8, TE)
         du = du_ref[:].reshape(3, 8, TE)
-        qe, s_c, e_c, eq2, y2 = _el._element_math(
+        qe, s_c, e_c, eq2, y2, _ = _el._element_math(
             pl_tables, mat, G, lam, hasp, pus_ref[:], pos_e, du,
             stress_c, strain_c, eq, y, flag)
         qe_ref[:] = _el._stack_qe(qe).reshape(24, TE)

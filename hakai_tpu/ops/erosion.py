@@ -63,7 +63,11 @@ def erode(model: LoweredModel,
           eq_ps: jnp.ndarray, triax: jnp.ndarray,
           element_flag: jnp.ndarray) -> ErosionResult:
     new_flag, delete = erosion_delete_mask(model, eq_ps, triax, element_flag)
-    z = ~delete[None, None, :]
+    # mask by the full life flag (not just this step's deletions): the
+    # element math no longer freezes dead lanes, so their don't-care values
+    # must be re-zeroed every step on this generic path (the fast chunk
+    # paths defer this to the chunk exit)
+    z = new_flag[None, None, :]
     return ErosionResult(new_flag,
                          jnp.where(z, stress, 0.0),
                          jnp.where(z, strain, 0.0),

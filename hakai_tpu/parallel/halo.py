@@ -40,8 +40,7 @@ from ..core.lowering import LoweredModel, _dup_lanes
 from ..core.state import SimState
 from ..ops.contact import contact_forces_pv
 from ..ops.element import (assemble_internal_force, element_update,
-                           element_core_c, gather_disp_e, triax_components,
-                           triax_stress)
+                           element_core_c, gather_disp_e, triax_stress)
 from ..ops.erosion import erode, erosion_delete_mask
 from ..ops.gather_pallas import plan_local, plan_sharded_gather
 from ..solver.explicit import amplitude_values
@@ -482,13 +481,15 @@ def _halo_step_fast(hm: HaloModel, lm: LoweredModel, s: HaloState,
     disp_e = gather_disp_e(lm, disp_w)                   # (3, 8, El)
     pos_r, du_r = element_kinematics(hm.coord_e, disp_e, disp_e_prev,
                                      edt, lm.E)
-    qe, s_c, e_c, eq, y = element_core_c(
+    qe, s_c, e_c, eq, y, triax = element_core_c(
         lm, pos_r, du_r, stress_c, strain_c, s.eq_ps, s.yield_s,
         s.element_flag, pre_centered=True)
+    if triax is None:    # VMEM-resident regime (see element.py)
+        from ..ops.element import triax_components
+        triax = triax_components(s_c)
     fw = assemble_internal_force(lm, qe).astype(base.dtype)   # (3, W)
     Q = _return_ghosts(fw, H)
     # deferred erosion zeroing — see solver.explicit.step_fast
-    triax = triax_components(s_c)
     if base.fracture_enabled:
         # dead elements carry stale stress under deferred zeroing; the
         # reference's triax for them is 0 (recomputed from zeroed stress)

@@ -245,8 +245,7 @@ def _sharded_step_fast(lm: LoweredModel, state: SimState, disp_e_prev,
     solver.explicit.step_fast (3-channel gather of only the new
     displacement, stress/strain carried as 6-component tuples), so sharded
     runs reproduce single-device fast-path numerics."""
-    from ..ops.element import (element_core_c, gather_disp_e,
-                               triax_components)
+    from ..ops.element import element_core_c, gather_disp_e
     from ..ops.erosion import erosion_delete_mask
 
     from ..ops.element import element_kinematics
@@ -256,12 +255,14 @@ def _sharded_step_fast(lm: LoweredModel, state: SimState, disp_e_prev,
     disp_e = gather_disp_e(lm, disp_new)
     pos_r, du_r = element_kinematics(lm.coord_e, disp_e, disp_e_prev,
                                      edt, lm.E)
-    qe, s_c, e_c, eq, y = element_core_c(
+    qe, s_c, e_c, eq, y, triax = element_core_c(
         lm, pos_r, du_r, stress_c, strain_c, state.eq_ps, state.yield_s,
         state.element_flag, pre_centered=True)
+    if triax is None:    # VMEM-resident regime (see element.py)
+        from ..ops.element import triax_components
+        triax = triax_components(s_c)
     Q = _sharded_assemble(lm, qe)
     # deferred erosion zeroing — see solver.explicit.step_fast
-    triax = triax_components(s_c)
     if lm.fracture_enabled:
         # dead elements carry stale stress under deferred zeroing; the
         # reference's triax for them is 0 (recomputed from zeroed stress)

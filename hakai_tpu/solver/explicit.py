@@ -147,7 +147,7 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
     131k, round 3: XLA conserves the fusion-boundary traffic either way —
     1M 15.9→15.8 ms, 131k −7%.  The (3,8,E) carry stays.)"""
     from ..ops.element import element_core_c, element_kinematics, \
-        gather_disp_e, triax_components
+        gather_disp_e
     from ..ops.erosion import erosion_delete_mask
 
     edt = model.edtype
@@ -155,9 +155,12 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
     disp_e = gather_disp_e(model, disp_new)
     pos_r, du_r = element_kinematics(model.coord_e, disp_e, disp_e_prev,
                                      edt, model.E)
-    qe, s_c, e_c, eq, y = element_core_c(
+    qe, s_c, e_c, eq, y, triax = element_core_c(
         model, pos_r, du_r, stress_c, strain_c, state.eq_ps, state.yield_s,
         state.element_flag, pre_centered=True)
+    if triax is None:                    # VMEM-resident regime (see element.py)
+        from ..ops.element import triax_components
+        triax = triax_components(s_c)
     Q = assemble_internal_force(model, qe).astype(model.dtype)
     # Deferred erosion zeroing: dead elements keep stale stress/strain in the
     # chunk carry (the math passes old state through for ~alive and every
@@ -166,7 +169,6 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
     # PRE-erosion flag so a just-deleted element keeps its final stale triax
     # for exactly one step, as the reference does (erosion zeroes only
     # stress/strain, HAKAI_j.jl:744-757; triax recomputes to 0 next step).
-    triax = triax_components(s_c)
     if model.fracture_enabled:
         # dead elements carry stale stress under deferred zeroing; the
         # reference's triax for them is 0 (recomputed from zeroed stress)
