@@ -394,6 +394,26 @@ def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
     tri_init = np.repeat(init, 2)
     tri_twin = np.repeat(g_twin, 2)
 
+    # Initially-active faces first within each 2048-wide segment: the raw
+    # inventory interleaves exposed faces with their initially-dead twins,
+    # which spreads the active set over every narrow-phase triangle block —
+    # on the crash tube all 17 blocks of the self pair survive the
+    # block-activity cull at 34% occupancy.  Dense-packed, the same cull
+    # drops the dead blocks for free (erosion-exposed twins land in each
+    # segment's tail blocks, activating only as erosion progresses).  The
+    # partition stays INSIDE 2048-aligned segments — the gather-plan tile —
+    # so every plan tile keeps the same index set and the diagonal window
+    # plans survive (a global partition broke plan_tpos/tvel/fgt on the
+    # 127k-triangle car inventory: 19x slowdown on the XLA fallbacks).
+    # Twin links are element ids, so no index remap is needed; every plan
+    # below is built post-permute.
+    _n = tri_init.shape[0]
+    perm = np.lexsort((np.arange(_n), ~tri_init, np.arange(_n) // 2048))
+    tri_nodes = tri_nodes[:, perm]
+    tri_elem = tri_elem[perm]
+    tri_init = tri_init[perm]
+    tri_twin = tri_twin[perm]
+
     cand, cand_init, cand_twin = _cand_nodes(model, i_inst, elements_i,
                                              face_cache)
     jc, jc_init, jc_twin = _cand_nodes(model, j_inst, elements_j, face_cache,

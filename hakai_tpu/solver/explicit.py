@@ -231,6 +231,12 @@ def unpack_gauss_state(state: SimState, P, E: int) -> SimState:
 
 @partial(jax.jit, static_argnums=(2,))
 def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
+    # Small decks are kernel-launch bound (a 10.8k-element step costs the
+    # same wall time as 131k: ~40 kernels x ~20 us fixed cost), so unroll
+    # the chunk loop to let XLA fuse across steps and amortize launches;
+    # large decks keep unroll=1 (bandwidth-bound, unrolling only grows the
+    # compile).
+    unroll = 4 if model.E <= 32768 else 1
     # disp_e-carry fast path; in mixed mode the carry is f64 (differences
     # cancel before the f32 cast inside step_fast)
     if model.coord_e is not None:
@@ -246,7 +252,7 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
             out, _, P = jax.lax.fori_loop(
                 0, n_steps,
                 lambda _, c: step_fast_packed(model, c[0], c[1], c[2]),
-                (s0, disp_e0, P0))
+                (s0, disp_e0, P0), unroll=unroll)
             P = jnp.concatenate(           # deferred erosion zeroing
                 [jnp.where(out.element_flag[None, :], P[:96], 0.0), P[96:]],
                 axis=0)
@@ -262,11 +268,13 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
             return step_fast(model, s, de, sc, ec)
 
         out, _, s_c, e_c = jax.lax.fori_loop(
-            0, n_steps, body, (s0, disp_e0, stress_c0, strain_c0))
+            0, n_steps, body, (s0, disp_e0, stress_c0, strain_c0),
+            unroll=unroll)
         keep = out.element_flag[None, None, :]   # deferred erosion zeroing
         return out.replace(stress=jnp.where(keep, jnp.stack(s_c), 0.0),
                            strain=jnp.where(keep, jnp.stack(e_c), 0.0))
-    return jax.lax.fori_loop(0, n_steps, lambda _, s: step(model, s), state)
+    return jax.lax.fori_loop(0, n_steps, lambda _, s: step(model, s), state,
+                             unroll=unroll)
 
 
 def _deck_order_frame(model: LoweredModel, state: SimState, nd):
@@ -395,7 +403,13 @@ def run(model: LoweredModel, state: SimState | None = None,
             sys.stdout.write(f"\r{done * model.dt:.4e} / {model.end_time:.4e}     ")
             sys.stdout.flush()
         if cfg.metrics_path is not None:
-            metrics.record(model, view(state), done, _time.time() - t0)
+            if halo is not None and halo > 1:
+                # device-side sharded reductions — no host gather_state
+                from ..utils.metrics import halo_step_metrics
+                metrics.record_raw(halo_step_metrics(hm, state), model,
+                                   done, _time.time() - t0)
+            else:
+                metrics.record(model, view(state), done, _time.time() - t0)
         if write_output and done % d_out == 0 and i_out <= n_frames:
             sv = view(state)
             nd = node_fields(model, sv.stress, sv.strain, sv.eq_ps, sv.triax)

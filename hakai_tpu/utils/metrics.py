@@ -40,6 +40,28 @@ def step_metrics(model: LoweredModel, state: SimState) -> dict:
     )
 
 
+@jax.jit
+def halo_step_metrics(hm, s) -> dict:
+    """step_metrics twin for shard-major halo state (parallel/halo.py) —
+    every scalar reduces over the sharded arrays directly, so metrics
+    streaming never forces the per-chunk host-side gather_state the VTK
+    frames need.  contact_force is not carried in HaloState; its max is
+    reported as 0.0 exactly as the gather_state view did."""
+    v = s.velo                                       # (S, 3, No)
+    ke = 0.5 * jnp.sum(hm.diag_M * (v * v).sum(axis=1))
+    d_disp = s.disp - s.disp_pre
+    d_max = jnp.sqrt((d_disp * d_disp).sum(axis=1)).max()
+    return dict(
+        kinetic_energy=ke,
+        d_max=d_max,
+        contact_force_max=jnp.zeros((), s.disp.dtype),
+        alive_elements=s.element_flag.sum(),
+        eq_plastic_strain_max=s.eq_ps.max(),
+        stress_absmax=jnp.abs(s.stress).max(),
+        disp_absmax=jnp.abs(s.disp).max(),
+    )
+
+
 class MetricsWriter:
     """Append-only JSONL metrics stream."""
 
@@ -49,7 +71,12 @@ class MetricsWriter:
 
     def record(self, model: LoweredModel, state: SimState, step: int,
                wall_s: float) -> dict:
-        m = step_metrics(model, state)
+        return self.record_raw(step_metrics(model, state), model, step,
+                               wall_s)
+
+    def record_raw(self, m: dict, model: LoweredModel, step: int,
+                   wall_s: float) -> dict:
+        """Append a record from precomputed device-side scalars."""
         rec = {k: float(v) for k, v in m.items()}
         rec["step"] = step
         rec["time"] = step * model.dt
