@@ -62,6 +62,11 @@ class SolverConfig:
     #                              slower at 1M: the slab loop's DUS carries
     #                              cost more than the HBM spill it avoids),
     #                              >0 explicit (multiple of 128)
+    chunk_unroll: int = 1        # unroll factor for the chunk step loop on
+    #                              small (launch-bound) decks; >1 trades
+    #                              bitwise-exact checkpoint resume (cross-
+    #                              step fusion differs at chunk tails) for
+    #                              throughput on <=32k-element meshes
     metrics_path: str | None = None  # JSONL per-chunk diagnostics stream
     checkpoint_every: int = 0    # save resumable checkpoint every N frames
     checkpoint_path: str | None = None

@@ -218,6 +218,9 @@ class LoweredModel:
     bc_value: jnp.ndarray = None    # (K,)
     bc_amp: jnp.ndarray = None      # (K,) int32 amplitude id, -1 = none
     bc_mask: jnp.ndarray = None     # (K,) bool
+    bcd_mask: jnp.ndarray = None    # (3, N) bool dense prescribed-dof mask
+    bcd_value: jnp.ndarray = None   # (3, N) dense prescribed values
+    bcd_amp: jnp.ndarray = None     # (3, N) int32 amplitude id, -1 = none
     amp_time: jnp.ndarray = None    # (A, L)
     amp_value: jnp.ndarray = None   # (A, L)
     amp_n: jnp.ndarray = None       # (A,) int32 true knots
@@ -777,6 +780,16 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
     for k, ((axis, node), (val, amp_id)) in enumerate(entries.items()):
         bc_axis[k], bc_node[k], bc_value[k], bc_amp[k] = axis, node, val, amp_id
         bc_mask[k] = True
+    # dense (3, N) mirrors for the per-step BC application: the compact
+    # scatter rebuilt a dense mask + value array EVERY step inside the chunk
+    # loop (~0.3 ms at 1M nodes of loop-invariant work XLA didn't hoist)
+    bcd_mask = np.zeros((3, N), bool)
+    bcd_value = np.zeros((3, N))
+    bcd_amp = np.full((3, N), -1, np.int64)
+    for (axis, node), (val, amp_id) in entries.items():
+        bcd_mask[axis, node] = True
+        bcd_value[axis, node] = val
+        bcd_amp[axis, node] = amp_id
 
     A = max(len(model.amplitudes), 1)
     L = max(max((len(a.time) for a in model.amplitudes), default=0), 2)
@@ -867,6 +880,9 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         bc_value=jnp.asarray(bc_value, kdtype),
         bc_amp=jnp.asarray(bc_amp, jnp.int32),
         bc_mask=jnp.asarray(bc_mask),
+        bcd_mask=jnp.asarray(bcd_mask),
+        bcd_value=jnp.asarray(bcd_value, kdtype),
+        bcd_amp=jnp.asarray(bcd_amp, jnp.int32),
         amp_time=jnp.asarray(amp_time, kdtype),
         amp_value=jnp.asarray(amp_value, kdtype),
         amp_n=jnp.asarray(amp_n, jnp.int32),

@@ -63,16 +63,16 @@ def apply_bc(model: LoweredModel, disp_new: jnp.ndarray, current_time):
     unique targets and is deterministic.
     """
     ampv = amplitude_values(model, current_time)
-    fac = jnp.where(model.bc_amp >= 0,
-                    ampv[jnp.clip(model.bc_amp, 0, None)], 1.0)
-    vals = model.bc_value * fac
-    m8 = model.bc_mask.astype(jnp.int8)
-    dense_m = (jnp.zeros(disp_new.shape, jnp.int8)
-               .at[model.bc_axis, model.bc_node].add(m8)) > 0
-    dense_v = (jnp.zeros_like(disp_new)
-               .at[model.bc_axis, model.bc_node].add(jnp.where(model.bc_mask,
-                                                               vals, 0.0)))
-    return jnp.where(dense_m, dense_v, disp_new)
+    # dense precomputed mask/value/amp-id (core/lowering.py): the previous
+    # compact scatter rebuilt the dense arrays from the (K,) lists EVERY
+    # step (~0.3 ms/step of loop-invariant work at 1M nodes that XLA never
+    # hoisted out of the chunk loop).  The per-table amplitude factor is a
+    # static select chain — A is tiny, and a gather of (3, N) int32 ids
+    # through a 2-entry table would cost more than the selects.
+    fac = jnp.ones(disp_new.shape, disp_new.dtype)
+    for a in range(ampv.shape[0]):
+        fac = jnp.where(model.bcd_amp == a, ampv[a], fac)
+    return jnp.where(model.bcd_mask, model.bcd_value * fac, disp_new)
 
 
 def _integrate(model: LoweredModel, state: SimState):
@@ -231,12 +231,14 @@ def unpack_gauss_state(state: SimState, P, E: int) -> SimState:
 
 @partial(jax.jit, static_argnums=(2,))
 def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
-    # Small decks are kernel-launch bound (a 10.8k-element step costs the
-    # same wall time as 131k: ~40 kernels x ~20 us fixed cost), so unroll
-    # the chunk loop to let XLA fuse across steps and amortize launches;
-    # large decks keep unroll=1 (bandwidth-bound, unrolling only grows the
-    # compile).
-    unroll = 4 if model.E <= 32768 else 1
+    # Small decks are kernel-launch bound (a 10.8k-element step costs about
+    # the same wall time as 131k: ~40 kernels x ~20 us fixed cost); opt-in
+    # chunk-loop unrolling lets XLA fuse across steps and amortize
+    # launches.  Default stays 1: unrolling lets XLA fuse a chunk's tail
+    # steps differently from its body, so runs split at different chunk
+    # boundaries (e.g. checkpoint resume) drift by ~1e-13 relative instead
+    # of matching bitwise — the tested exact-resume contract wins.
+    unroll = model.config.chunk_unroll if model.E <= 32768 else 1
     # disp_e-carry fast path; in mixed mode the carry is f64 (differences
     # cancel before the f32 cast inside step_fast)
     if model.coord_e is not None:

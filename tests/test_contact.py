@@ -220,3 +220,28 @@ def test_tree_mode_force_assembly():
         a, b = np.asarray(fast(force_t)), np.asarray(ref(force_t))
         err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
         assert err < 1e-5, (pair.fgt_segmask is not None, err)
+
+
+def test_inventory_partition_segment_invariants():
+    """The active-first face reorder (core/lowering.py) must (a) keep each
+    2048-aligned segment's index SET unchanged (so the gather-plan tile
+    windows can't degrade) and (b) pack tri_init faces at each segment's
+    front (so the narrow phase's block-activity cull drops dead blocks)."""
+    m = two_body_model()
+    model = lower(m, SolverConfig())
+    for pair in model.pairs:
+        init = np.asarray(pair.tri_init)
+        elem = np.asarray(pair.tri_elem)
+        n = init.shape[0]
+        for s in range(0, n, 2048):
+            seg = init[s:s + 2048]
+            k = int(seg.sum())
+            # (b) actives form a prefix of the segment
+            assert seg[:k].all() and not seg[k:].any()
+        # within each group the original (element-order) coherence is kept:
+        # stable partition => element ids non-decreasing runs per face pair
+        # (weak sanity: actives' element ids are sorted within a segment
+        # because the unpermuted inventory is element-ordered)
+        for s in range(0, n, 2048):
+            seg_el = elem[s:s + 2048][init[s:s + 2048]]
+            assert (np.diff(seg_el) >= 0).all()
