@@ -50,6 +50,10 @@ def main(argv=None):
                          "single-device run: structure byte-identical, "
                          "float fields to ~1e-6 relative / last printed "
                          "digit)")
+    ap.add_argument("--chunk-unroll", type=int, default=1,
+                    help="unroll factor for the chunk step loop on small "
+                         "(launch-bound, <=32k-element) decks; >1 trades "
+                         "bitwise-exact checkpoint resume for throughput")
     ap.add_argument("--halo", type=int, default=None,
                     help="node-sharded halo-exchange decomposition over "
                          "this many devices (pod-scale path: halo rows "
@@ -76,6 +80,7 @@ def main(argv=None):
         metrics_path=args.metrics,
         checkpoint_every=args.checkpoint_every,
         check_nan=args.check_nan,
+        chunk_unroll=args.chunk_unroll,
     )
     if cfg.dtype in ("float64", "mixed"):
         import jax

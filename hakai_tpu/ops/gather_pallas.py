@@ -1014,9 +1014,12 @@ def plan_sharded_gather(indices_per_shard, source_len: int,
         # must still share one shape (forced max window rows, sg=1) so the
         # --devices path degrades instead of raising at jnp.stack
         import logging
+        meta = [(p.ok, p.r, p.r_pad, p.w_rows, p.m_w_rows, p.sg, p.n_tiles)
+                for p in plans]
         logging.getLogger(__name__).warning(
             "plan_sharded_gather: non-uniform per-shard plans; multi-chip "
-            "path will use the XLA-gather fallback (3-5x slower)")
+            "path will use the XLA-gather fallback (3-5x slower); per-shard "
+            "(ok, r, r_pad, w_rows, m_w_rows, sg, n_tiles) = %s", meta)
         plans = plan_all(max(p.w_rows for p in plans), 0, 1)
 
     def stack(field):
