@@ -46,11 +46,30 @@ def _part_perms(part) -> Tuple[np.ndarray, np.ndarray]:
     adj = coo_matrix((np.ones(len(pairs_i), np.int8), (pairs_i, pairs_j)),
                      shape=(n, n)).tocsr()
     order = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
-    rank = np.empty(n, np.int64)
-    rank[order] = np.arange(n)
-    new_em = rank[em]                                # (E, 8)
+    rank_rcm = np.empty(n, np.int64)
+    rank_rcm[order] = np.arange(n)
+    # Geometric sweep candidate: sort nodes along the part's longest
+    # coordinate axis (ties by the other axes).  On box-like meshes this
+    # gives the optimal cross-section bandwidth, where RCM's diagonal level
+    # sets are up to ~3x wider near corners (64x64x512 bar: sweep span
+    # 4225 uniform, RCM max 12610, deck x-major 33k).
+    c = np.asarray(part.coordmat)
+    ax = np.argsort(np.ptp(c, axis=1))               # ascending extent
+    sweep = np.lexsort((c[ax[0]], c[ax[1]], c[ax[2]]))
+    rank_sweep = np.empty(n, np.int64)
+    rank_sweep[sweep] = np.arange(n)
+    # Keep whichever numbering has the smallest WORST element node span —
+    # the quantity that drives halo width and gather-plan windows.
+    best_rank, best_span = np.arange(n), \
+        int((em.max(axis=1) - em.min(axis=1)).max())
+    for rank in (rank_rcm, rank_sweep):
+        new_em = rank[em]
+        span = int((new_em.max(axis=1) - new_em.min(axis=1)).max())
+        if span < best_span:
+            best_rank, best_span = rank, span
+    new_em = best_rank[em]
     elem_order = np.argsort(new_em.min(axis=1), kind="stable")
-    return rank, elem_order
+    return best_rank, elem_order
 
 
 def renumber_model(model: Model) -> Tuple[Model, np.ndarray, np.ndarray]:

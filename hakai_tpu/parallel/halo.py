@@ -226,10 +226,18 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
             idx_list.append(elem_w[d].reshape(-1))
             val_list.append(np.tile(alive0[d], 8))
             al = alive0[d]
-            tgt = elem_w[d][:, al].reshape(-1)
-            src = (np.arange(8)[:, None] * El
-                   + np.nonzero(al)[0][None, :]).reshape(-1)
-            lanes_per_shard.append(_dup_lanes(tgt, src, W))
+            pos = np.nonzero(al)[0]
+            # slot-pure lanes: one _dup_lanes call per local corner keeps
+            # every lane's source positions inside a single El-wide slot
+            # segment.  Mixed-slot lanes (one _dup_lanes over all corners)
+            # made window-boundary nodes' contributions jump up to 7*El in
+            # source space, blowing the uniform per-shard plan's tile
+            # windows (w_rows ~12k >> 64) and dropping the whole halo
+            # assembly to the XLA fallback at pod scale.
+            ls = []
+            for slot in range(8):
+                ls += _dup_lanes(elem_w[d][slot, al], slot * El + pos, W)
+            lanes_per_shard.append(ls)
         h_plan_pos = plan_sharded_gather(idx_list, W, valid_per_shard=val_list)
         h_asm_vl = max((len(ls) for ls in lanes_per_shard), default=1)
         h_asm_vl = max(h_asm_vl, 1)
