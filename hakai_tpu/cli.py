@@ -50,10 +50,12 @@ def main(argv=None):
                          "single-device run: structure byte-identical, "
                          "float fields to ~1e-6 relative / last printed "
                          "digit)")
-    ap.add_argument("--chunk-unroll", type=int, default=1,
+    ap.add_argument("--chunk-unroll", type=int, default=0,
                     help="unroll factor for the chunk step loop on small "
-                         "(launch-bound, <=32k-element) decks; >1 trades "
-                         "bitwise-exact checkpoint resume for throughput")
+                         "(launch-bound, <=32k-element) decks; 0 (default) "
+                         "picks a frame-aligned factor automatically, "
+                         "preserving bitwise-exact checkpoint resume; "
+                         "explicit values are applied unguarded")
     ap.add_argument("--halo", type=int, default=None,
                     help="node-sharded halo-exchange decomposition over "
                          "this many devices (pod-scale path: halo rows "

@@ -62,11 +62,19 @@ class SolverConfig:
     #                              slower at 1M: the slab loop's DUS carries
     #                              cost more than the HBM spill it avoids),
     #                              >0 explicit (multiple of 128)
-    chunk_unroll: int = 1        # unroll factor for the chunk step loop on
-    #                              small (launch-bound) decks; >1 trades
-    #                              bitwise-exact checkpoint resume (cross-
-    #                              step fusion differs at chunk tails) for
-    #                              throughput on <=32k-element meshes
+    chunk_unroll: int = 0        # unroll factor for the chunk step loop on
+    #                              small (launch-bound) decks.  0 (default)
+    #                              = auto: the largest of 4/2/1 dividing
+    #                              d_out, applied only to chunks that are
+    #                              themselves multiples of it — unroll
+    #                              groups then align to absolute step
+    #                              indices for every frame-aligned chunking
+    #                              (checkpoints are only written at frame
+    #                              boundaries), preserving bitwise-exact
+    #                              resume.  Explicit values are applied
+    #                              as-is (no alignment guard): a factor
+    #                              that does not divide d_out trades exact
+    #                              resume for throughput.
     metrics_path: str | None = None  # JSONL per-chunk diagnostics stream
     checkpoint_every: int = 0    # save resumable checkpoint every N frames
     checkpoint_path: str | None = None

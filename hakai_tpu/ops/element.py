@@ -135,7 +135,7 @@ def pallas_core_ok(model: LoweredModel, E: int, dt) -> bool:
     serializes the unrolled elementwise graph — so it never auto-enables;
     a short slope measurement that suggested 5x the XLA rate was a timing
     artifact of the async dispatch path."""
-    if model.config.element_kernel != "pallas":
+    if model.config.element_kernel not in ("pallas", "pallas_mxu"):
         return False
     return (jax.default_backend() == "tpu"
             and jnp.dtype(dt) == jnp.float32

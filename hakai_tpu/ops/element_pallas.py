@@ -121,6 +121,8 @@ def element_core_packed(model: LoweredModel, pos24, du24, P, flag):
     grid step issues ~9 buffer DMAs instead of 22 — DMA-issue latency, not
     bandwidth or flops, dominated the many-buffer variant (measured 2.4 ms
     vs 0.68 ms XLA at 131k; this layout reaches ~0.3 ms)."""
+    if model.config.element_kernel == "pallas_mxu":
+        return element_core_packed_mxu(model, pos24, du24, P, flag)
     E = P.shape[1]
     TE = _el._TILE_E
     n_tiles = E // TE
@@ -147,5 +149,211 @@ def element_core_packed(model: LoweredModel, pos24, du24, P, flag):
         out_specs=[spec(112), spec(24)],
         out_shape=[jax.ShapeDtypeStruct((112, E), dt),
                    jax.ShapeDtypeStruct((24, E), dt)],
+        interpret=jax.default_backend() != "tpu",
     )(jnp.asarray(_el._PUS, dt), P, pos24, du24, fstat, istat, flag_i)
+    return P_new, qe
+
+
+# ---------------------------------------------------------------------------
+# MXU-assisted packed kernel ("pallas_mxu")
+#
+# The round-2 packed kernel loses to fused XLA because Mosaic issues the
+# ~700-op unrolled elementwise graph at a 2-3x worse rate (docs/PERF.md).
+# Three of the four big contraction blocks in the element math have
+# CONSTANT coefficient tensors (the parent-space gradients pus[k,a,i]):
+#
+#   J[a][b][k]   = sum_i pus[k,a,i] * pos[b*8+i]      (jacobian)
+#   Gdu[c][b][k] = sum_i pus[k,c,i] * du[b*8+i]       (reference-space grad)
+#   Qe[b][i]     = sum_{c,k} pus[k,c,i] * M[c][b][k]  (internal-force fold)
+#
+# Each is a constant-matrix x element-batch product, so it runs on the MXU
+# (systolic array) instead of the VPU: J/Gdu become C_J(72,24) @ x24(24,TE)
+# and Qe becomes C_Q(24,72) @ M(72,TE).  That removes ~2/3 of the VPU
+# instruction stream; only the genuinely data-dependent math (det/inv3,
+# g = invJ*Gdu, the radial return, the M build) stays elementwise.
+# f32 matmuls use precision=HIGHEST (6-pass bf16) so no bf16 noise enters
+# the strain increments.
+# ---------------------------------------------------------------------------
+
+def _mxu_tables():
+    """Constant MXU contraction matrices (float64 numpy).
+
+    C_J[(a*3+b)*8+k, b*8+i] = pus[k,a,i]  -> J_flat  = C_J @ pos24
+                                             Gdu_flat = C_J @ du24
+    C_Q[b*8+i, (c*3+b)*8+k] = pus[k,c,i]  -> qe24    = C_Q @ M_flat
+    Row group g = a*3+b (resp. c*3+b) holds the 8 Gauss rows of J[a][b]
+    (resp. M[c][b]) so every consumer slice is one aligned (8, TE) tile.
+    """
+    import numpy as np
+    CJ = np.zeros((72, 24))
+    CQ = np.zeros((24, 72))
+    for b in range(3):
+        for k in range(8):
+            for i in range(8):
+                for a in range(3):
+                    CJ[(a * 3 + b) * 8 + k, b * 8 + i] = _el._PUS[k, a, i]
+                for c in range(3):
+                    CQ[b * 8 + i, (c * 3 + b) * 8 + k] = _el._PUS[k, c, i]
+    return CJ, CQ
+
+
+def _make_mxu_kernel(pl_tables, TE, kin_inside=False):
+    hi = jax.lax.Precision.HIGHEST
+    dn = (((1,), (0,)), ((), ()))      # plain (M,K)@(K,N)
+
+    def kernel(cj_ref, cq_ref, P_ref, pos_ref, du_ref, *rest):
+        if kin_inside:
+            dp_ref, fs_ref, is_ref, flag_ref, P_out, qe_ref = rest
+        else:
+            fs_ref, is_ref, flag_ref, P_out, qe_ref = rest
+        w_ = _el._w
+        dtype = pos_ref.dtype
+        flag = flag_ref[0] != 0
+        mat = is_ref[0]
+        hasp = is_ref[1] != 0
+        G_e = fs_ref[0]
+        lam_e = fs_ref[1]
+
+        if kin_inside:
+            # pos_ref = coord24 (node-0-centered), du_ref = disp24,
+            # dp_ref = dprev24: the kinematic differences are taken HERE so
+            # the (24, E) pos/du buffers are never materialized in HBM
+            # (valid only when the nodal carry dtype equals the element
+            # dtype — the mixed-precision path must difference in f64
+            # before the f32 cast, element.py:176).
+            d = du_ref[:]
+            du24 = d - dp_ref[:]
+            pos24 = jnp.concatenate(
+                [pos_ref[8 * b:8 * (b + 1)]
+                 + (d[8 * b:8 * (b + 1)] - d[8 * b:8 * b + 1])
+                 for b in range(3)], axis=0)
+        else:
+            pos24 = pos_ref[:]
+            du24 = du_ref[:]
+
+        # --- MXU: jacobian + reference-space displacement gradient
+        Jf = jax.lax.dot_general(cj_ref[:], pos24, dn, precision=hi,
+                                 preferred_element_type=dtype)   # (72, TE)
+        Gf = jax.lax.dot_general(cj_ref[:], du24, dn, precision=hi,
+                                 preferred_element_type=dtype)   # (72, TE)
+        J = [[Jf[(a * 3 + b) * 8:(a * 3 + b) * 8 + 8] for b in range(3)]
+             for a in range(3)]
+        Gdu = [[Gf[(c * 3 + b) * 8:(c * 3 + b) * 8 + 8] for b in range(3)]
+               for c in range(3)]
+
+        # --- VPU: everything data-dependent (mirrors element._element_math,
+        # HAKAI_j.jl:1033-1784 re-derivation; see that docstring)
+        detJ = _el._det3(J)                                # (8, TE)
+        detJ_abs = jnp.abs(detJ)
+        inv_det = 1.0 / w_(detJ == 0, 1.0, detJ)
+        invJ = _el._inv3(J, inv_det)
+        V = detJ_abs.sum(axis=0)                           # (TE,)
+        inv_V = 1.0 / w_(V == 0, 1.0, V)
+
+        g = [[invJ[a][0] * Gdu[0][b] + invJ[a][1] * Gdu[1][b]
+              + invJ[a][2] * Gdu[2][b] for b in range(3)] for a in range(3)]
+        tr = g[0][0] + g[1][1] + g[2][2]
+        volbar = ((detJ_abs * tr).sum(axis=0) * inv_V / 3.0)[None, :]
+        de = [g[0][0] - tr / 3.0 + volbar,
+              g[1][1] - tr / 3.0 + volbar,
+              g[2][2] - tr / 3.0 + volbar,
+              g[0][1] + g[1][0], g[1][2] + g[2][1], g[0][2] + g[2][0]]
+        tr_de = 3.0 * volbar
+        stress = [P_ref[8 * c:8 * (c + 1)] for c in range(6)]
+        trial = [stress[c] + lam_e * tr_de + 2.0 * G_e * de[c]
+                 for c in range(3)] + \
+                [stress[c] + G_e * de[c] for c in range(3, 6)]
+        mean_s = (trial[0] + trial[1] + trial[2]) / 3.0
+        dev = [trial[0] - mean_s, trial[1] - mean_s, trial[2] - mean_s,
+               trial[3], trial[4], trial[5]]
+        vm = jnp.sqrt(1.5 * (dev[0]**2 + dev[1]**2 + dev[2]**2
+                             + 2.0 * (dev[3]**2 + dev[4]**2 + dev[5]**2)))
+
+        eq_ps = P_ref[96:104]
+        yield_s = P_ref[104:112]
+        H = _el._hardening_slope_tab(pl_tables, mat, eq_ps)
+        is_plastic = hasp[None, :] & (vm > yield_s) & flag[None, :]
+        safe_vm = w_(vm == 0, 1.0, vm)
+        d_ep = w_(is_plastic, (vm - yield_s) / (3.0 * G_e + H), 0.0)
+        scale = w_(is_plastic, (yield_s + H * d_ep) / safe_vm, 1.0)
+        final = [w_(is_plastic, dev[c] * scale + (mean_s if c < 3 else 0.0),
+                    trial[c]) for c in range(6)]
+
+        # --- internal-force moments M[c][b] (see element.py Qe derivation)
+        sig_m = (final[0] + final[1] + final[2]) / 3.0
+        s_t = [[final[0], final[3], final[5]],
+               [final[3], final[1], final[4]],
+               [final[5], final[4], final[2]]]
+        sum_w_sig_m = (detJ * sig_m).sum(axis=0)           # (TE,)
+        wdet = detJ_abs * inv_V
+        M_rows = []
+        for c in range(3):
+            for b in range(3):
+                acc = invJ[0][c] * s_t[0][b] + invJ[1][c] * s_t[1][b] \
+                    + invJ[2][c] * s_t[2][b] - invJ[b][c] * sig_m
+                M_rows.append(detJ * acc
+                              + wdet * (invJ[b][c] * sum_w_sig_m[None, :]))
+        Mf = jnp.concatenate(M_rows, axis=0)               # (72, TE)
+
+        # --- MXU: fold to nodal forces, mask dead elements
+        qe24 = jax.lax.dot_general(cq_ref[:], Mf, dn, precision=hi,
+                                   preferred_element_type=dtype)
+        qe_ref[:] = w_(flag[None, :], qe24, 0.0)
+
+        for c in range(6):
+            P_out[8 * c:8 * (c + 1)] = final[c]
+            P_out[48 + 8 * c:48 + 8 * (c + 1)] = \
+                P_ref[48 + 8 * c:48 + 8 * (c + 1)] + de[c]
+        P_out[96:104] = w_(is_plastic, eq_ps + d_ep, eq_ps)
+        P_out[104:112] = w_(is_plastic, yield_s + H * d_ep, yield_s)
+    return kernel
+
+
+def element_core_packed_mxu(model: LoweredModel, pos24, du24, P, flag,
+                            dprev24=None):
+    """MXU-assisted packed element kernel — same contract as
+    element_core_packed (state in/out as one (112, E) buffer, qe as
+    (24, E) rows).  With ``dprev24`` the caller passes
+    (coord24, disp24, dprev24) instead of (pos24, du24) and the kinematic
+    differences happen inside the kernel (f32 decks only)."""
+    import os
+    E = P.shape[1]
+    TE = int(os.environ.get("HAKAI_MXU_TILE", 0)) or _el._TILE_E
+    while E % TE:
+        TE //= 2
+    n_tiles = E // TE
+    dt = P.dtype
+    kin_inside = dprev24 is not None
+    CJ, CQ = _mxu_tables()
+    fstat = jnp.stack([model.G_e, model.lam_e])
+    istat = jnp.stack([model.mat_id,
+                       model.has_plastic_e.astype(jnp.int32)])
+    flag_i = flag.astype(jnp.int32)[None]
+
+    def spec(rows):
+        return pl.BlockSpec((rows, TE),
+                            lambda i: (jnp.asarray(0, jnp.int32), i),
+                            memory_space=pltpu.VMEM)
+
+    def cspec(shape):
+        return pl.BlockSpec(shape,
+                            lambda i: (jnp.asarray(0, jnp.int32),) * 2,
+                            memory_space=pltpu.VMEM)
+
+    extra_specs = [spec(24)] if kin_inside else []
+    extra_args = [dprev24] if kin_inside else []
+    P_new, qe = pl.pallas_call(
+        _make_mxu_kernel(model.pl_tables, TE, kin_inside=kin_inside),
+        grid=(n_tiles,),
+        in_specs=[
+            cspec((72, 24)), cspec((24, 72)),
+            spec(112), spec(24), spec(24), *extra_specs,
+            spec(2), spec(2), spec(1),
+        ],
+        out_specs=[spec(112), spec(24)],
+        out_shape=[jax.ShapeDtypeStruct((112, E), dt),
+                   jax.ShapeDtypeStruct((24, E), dt)],
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(CJ, dt), jnp.asarray(CQ, dt), P, pos24, du24,
+      *extra_args, fstat, istat, flag_i)
     return P_new, qe

@@ -492,7 +492,12 @@ def _halo_step_fast(hm: HaloModel, lm: LoweredModel, s: HaloState,
     qe, s_c, e_c, eq, y, triax = element_core_c(
         lm, pos_r, du_r, stress_c, strain_c, s.eq_ps, s.yield_s,
         s.element_flag, pre_centered=True)
-    if triax is None:    # VMEM-resident regime (see element.py)
+    if not base.fracture_enabled:
+        # chunk-exit triax on fracture-free decks — see
+        # solver.explicit.step_fast (make_halo_step recomputes it once
+        # from the final stress)
+        triax = s.triax
+    elif triax is None:  # VMEM-resident regime (see element.py)
         from ..ops.element import triax_components
         triax = triax_components(s_c)
     fw = assemble_internal_force(lm, qe).astype(base.dtype)   # (3, W)
@@ -622,6 +627,8 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
             keep = out.element_flag[None, None, :]  # deferred erosion zeroing
             out = out.replace(stress=jnp.where(keep, jnp.stack(sc), 0.0),
                               strain=jnp.where(keep, jnp.stack(ec), 0.0))
+            if not mm.base.fracture_enabled:  # chunk-exit triax (step_fast)
+                out = out.replace(triax=triax_stress(out.stress))
         else:
             if carry_fg:
                 def stepg(_, c):

@@ -258,7 +258,12 @@ def _sharded_step_fast(lm: LoweredModel, state: SimState, disp_e_prev,
     qe, s_c, e_c, eq, y, triax = element_core_c(
         lm, pos_r, du_r, stress_c, strain_c, state.eq_ps, state.yield_s,
         state.element_flag, pre_centered=True)
-    if triax is None:    # VMEM-resident regime (see element.py)
+    if not lm.fracture_enabled:
+        # chunk-exit triax on fracture-free decks — see
+        # solver.explicit.step_fast (make_sharded_step recomputes it once
+        # from the final stress)
+        triax = state.triax
+    elif triax is None:  # VMEM-resident regime (see element.py)
         from ..ops.element import triax_components
         triax = triax_components(s_c)
     Q = _sharded_assemble(lm, qe)
@@ -318,8 +323,11 @@ def make_sharded_step(model: LoweredModel, mesh: Mesh, n_steps: int = 1):
             out, _, s_c, e_c = jax.lax.fori_loop(
                 0, n_steps, stepb, (s0, disp_e0, stress_c0, strain_c0))
             keep = out.element_flag[None, None, :]  # deferred erosion zeroing
-            return out.replace(stress=jnp.where(keep, jnp.stack(s_c), 0.0),
-                               strain=jnp.where(keep, jnp.stack(e_c), 0.0))
+            out = out.replace(stress=jnp.where(keep, jnp.stack(s_c), 0.0),
+                              strain=jnp.where(keep, jnp.stack(e_c), 0.0))
+            if not lm.fracture_enabled:  # chunk-exit triax (step_fast)
+                out = out.replace(triax=triax_stress(out.stress))
+            return out
         return jax.lax.fori_loop(
             0, n_steps, lambda _, t: _sharded_step(lm, t, flag_g0), s)
 

@@ -158,7 +158,14 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
     qe, s_c, e_c, eq, y, triax = element_core_c(
         model, pos_r, du_r, stress_c, strain_c, state.eq_ps, state.yield_s,
         state.element_flag, pre_centered=True)
-    if triax is None:                    # VMEM-resident regime (see element.py)
+    if not model.fracture_enabled:
+        # triax is only consumed by erosion (fracture decks) and frame
+        # output: on fracture-free decks run_chunk computes it ONCE at
+        # chunk exit from the final stress (identical values — same pure
+        # function of the same state) instead of every step (~0.8 ms/step
+        # of re-read fusions at 1M elements).
+        triax = state.triax
+    elif triax is None:                  # VMEM-resident regime (see element.py)
         from ..ops.element import triax_components
         triax = triax_components(s_c)
     Q = assemble_internal_force(model, qe).astype(model.dtype)
@@ -197,20 +204,33 @@ def step_fast_packed(model: LoweredModel, state: SimState, disp_e_prev, P):
     E = model.E
     t, disp_new, velo, cforce = _integrate(model, state)
     disp_e = gather_disp_e(model, disp_new)
-    pos24 = (model.coord_e
-             + (disp_e - disp_e[:, 0:1, :]).astype(edt)).reshape(24, E)
-    du24 = (disp_e - disp_e_prev).astype(edt).reshape(24, E)
-    P_new, qe = element_core_packed(model, pos24, du24, P,
-                                    state.element_flag)
+    if (model.config.element_kernel == "pallas_mxu"
+            and model.dtype == edt):
+        # in-kernel kinematics: pos/du are never materialized in HBM
+        # (same-dtype decks only — mixed mode must difference in f64
+        # before the f32 cast, see element_kinematics)
+        from ..ops.element_pallas import element_core_packed_mxu
+        P_new, qe = element_core_packed_mxu(
+            model, model.coord_e.reshape(24, E), disp_e.reshape(24, E),
+            P, state.element_flag,
+            dprev24=disp_e_prev.reshape(24, E))
+    else:
+        pos24 = (model.coord_e
+                 + (disp_e - disp_e[:, 0:1, :]).astype(edt)).reshape(24, E)
+        du24 = (disp_e - disp_e_prev).astype(edt).reshape(24, E)
+        P_new, qe = element_core_packed(model, pos24, du24, P,
+                                        state.element_flag)
     Q = assemble_internal_force(model, qe.reshape(3, 8, E)
                                 ).astype(model.dtype)
-    s_rows = [P_new[8 * c:8 * (c + 1)] for c in range(6)]
-    # deferred erosion zeroing — see step_fast
-    triax = jnp.where(state.element_flag[None, :],
-                      triax_components(s_rows), 0.0)
     flag = state.element_flag
     if model.fracture_enabled:
+        s_rows = [P_new[8 * c:8 * (c + 1)] for c in range(6)]
+        # deferred erosion zeroing — see step_fast
+        triax = jnp.where(state.element_flag[None, :],
+                          triax_components(s_rows), 0.0)
         flag, delete = erosion_delete_mask(model, P_new[96:104], triax, flag)
+    else:
+        triax = state.triax              # chunk-exit triax (see step_fast)
     new_state = state.replace(
         t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
         triax=triax, element_flag=flag, contact_force=cforce)
@@ -232,13 +252,26 @@ def unpack_gauss_state(state: SimState, P, E: int) -> SimState:
 @partial(jax.jit, static_argnums=(2,))
 def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
     # Small decks are kernel-launch bound (a 10.8k-element step costs about
-    # the same wall time as 131k: ~40 kernels x ~20 us fixed cost); opt-in
+    # the same wall time as 131k: ~40 kernels x ~20 us fixed cost);
     # chunk-loop unrolling lets XLA fuse across steps and amortize
-    # launches.  Default stays 1: unrolling lets XLA fuse a chunk's tail
-    # steps differently from its body, so runs split at different chunk
-    # boundaries (e.g. checkpoint resume) drift by ~1e-13 relative instead
-    # of matching bitwise — the tested exact-resume contract wins.
-    unroll = model.config.chunk_unroll if model.E <= 32768 else 1
+    # launches.  Cross-step fusion makes a step's bits depend on its
+    # position inside an unroll group, so exact resume (bitwise-equal
+    # results under different chunk splits) requires the groups to align
+    # to ABSOLUTE step indices.  Checkpoints are only written at frame
+    # boundaries (multiples of d_out), so the auto default picks a factor
+    # dividing d_out and applies it only when this chunk is itself a
+    # multiple — then every group [U*k, U*(k+1)) is executed whole by the
+    # same unrolled body in every frame-aligned chunking
+    # (tests/test_resume_run.py asserts the bitwise contract).
+    unroll = model.config.chunk_unroll
+    if unroll == 0:                                     # auto
+        d_out = max(model.time_num // model.config.output_num, 1) \
+            if model.time_num else 1
+        unroll = next((u for u in (4, 2) if d_out % u == 0), 1)
+        if n_steps % unroll:
+            unroll = 1
+    if model.E > 32768:
+        unroll = 1
     # disp_e-carry fast path; in mixed mode the carry is f64 (differences
     # cancel before the f32 cast inside step_fast)
     if model.coord_e is not None:
@@ -258,6 +291,10 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
             P = jnp.concatenate(           # deferred erosion zeroing
                 [jnp.where(out.element_flag[None, :], P[:96], 0.0), P[96:]],
                 axis=0)
+            if not model.fracture_enabled:   # chunk-exit triax (step_fast)
+                from ..ops.element import triax_components
+                out = out.replace(triax=triax_components(
+                    [P[8 * c:8 * (c + 1)] for c in range(6)]))
             return unpack_gauss_state(out, P, E)
         stress_c0 = tuple(state.stress[c] for c in range(6))
         strain_c0 = tuple(state.strain[c] for c in range(6))
@@ -273,8 +310,13 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
             0, n_steps, body, (s0, disp_e0, stress_c0, strain_c0),
             unroll=unroll)
         keep = out.element_flag[None, None, :]   # deferred erosion zeroing
-        return out.replace(stress=jnp.where(keep, jnp.stack(s_c), 0.0),
-                           strain=jnp.where(keep, jnp.stack(e_c), 0.0))
+        out = out.replace(stress=jnp.where(keep, jnp.stack(s_c), 0.0),
+                          strain=jnp.where(keep, jnp.stack(e_c), 0.0))
+        if not model.fracture_enabled:       # chunk-exit triax (step_fast)
+            from ..ops.element import triax_components
+            out = out.replace(triax=triax_components(
+                [out.stress[c] for c in range(6)]))
+        return out
     return jax.lax.fori_loop(0, n_steps, lambda _, s: step(model, s), state,
                              unroll=unroll)
 

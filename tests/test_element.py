@@ -189,3 +189,78 @@ def test_dead_element_frozen():
     # dead element keeps its stress, contributes no force
     np.testing.assert_allclose(np.asarray(res.stress[:, :, 1]), 5.0)
     np.testing.assert_allclose(np.asarray(res.Qe[:, :, 1]), 0.0)
+
+
+@pytest.mark.parametrize("variant",
+                         ["pallas", "pallas_mxu", "pallas_mxu_kin"])
+def test_packed_pallas_kernel_matches_xla_math(variant):
+    """The packed Pallas element kernels (interpret mode on CPU) reproduce
+    the fused-XLA element math on a plastic mesh with dead + padding lanes.
+    The MXU variant reassociates the constant contractions as matmuls, so
+    agreement is to f32 roundoff, not bitwise."""
+    import jax
+
+    from hakai_tpu.ops import element as el
+    from hakai_tpu.ops.element_pallas import (element_core_packed,
+                                              element_core_packed_mxu)
+
+    m = unit_cube_model(nx=4, ny=4, nz=16, young=1000.0, poisson=0.3,
+                        plastic=[[20.0, 0.0], [40.0, 0.5]])
+    lm = lower(m, SolverConfig(dtype="float32", elem_pad=1024,
+                               element_kernel=variant))
+    E = lm.E
+    rng = np.random.default_rng(7)
+    f32 = jnp.float32
+    disp = jnp.asarray(rng.normal(scale=1e-2, size=(3, lm.N)), f32)
+    disp_prev = disp + jnp.asarray(
+        rng.normal(scale=2e-3, size=(3, lm.N)), f32)
+    disp_e = disp[:, lm.elem]
+    disp_e_prev = disp_prev[:, lm.elem]
+    coord_e = (lm.coord[:, lm.elem]
+               - lm.coord[:, lm.elem[0]][:, None, :]).astype(f32)
+    pos24 = (coord_e + (disp_e - disp_e[:, 0:1, :])).reshape(24, E)
+    du24 = (disp_e - disp_e_prev).reshape(24, E)
+
+    stress = jnp.asarray(rng.normal(scale=5.0, size=(6, 8, E)), f32)
+    strain = jnp.asarray(rng.normal(scale=1e-3, size=(6, 8, E)), f32)
+    eq_ps = jnp.asarray(rng.uniform(0.0, 0.3, size=(8, E)), f32)
+    yield_s = jnp.asarray(20.0 + rng.uniform(0.0, 5.0, size=(8, E)), f32)
+    flag = np.ones(E, bool)
+    flag[3] = False                       # one dead element
+    flag[m.n_element:] = False            # padding lanes
+    flag = jnp.asarray(flag)
+
+    # reference: the fused-XLA math on the same (pre-centered) inputs
+    qe_r, s_r, e_r, eq_r, y_r, _ = el._element_math(
+        lm.pl_tables, lm.mat_id, lm.G_e, lm.lam_e, lm.has_plastic_e,
+        jnp.asarray(el._PUS, f32), pos24.reshape(3, 8, E),
+        du24.reshape(3, 8, E), [stress[c] for c in range(6)],
+        [strain[c] for c in range(6)], eq_ps, yield_s, flag,
+        pre_centered=True)
+    qe_r = el._stack_qe(qe_r).reshape(24, E)
+
+    from hakai_tpu.solver.explicit import pack_gauss_state
+    from hakai_tpu.core.state import init_state
+    st = init_state(lm).replace(stress=stress, strain=strain,
+                                eq_ps=eq_ps, yield_s=yield_s)
+    P = pack_gauss_state(st, E)
+    if variant == "pallas_mxu_kin":
+        P_new, qe = element_core_packed_mxu(
+            lm, coord_e.reshape(24, E), disp_e.reshape(24, E), P, flag,
+            dprev24=disp_e_prev.reshape(24, E))
+    else:
+        fn = (element_core_packed_mxu if variant == "pallas_mxu"
+              else element_core_packed)
+        P_new, qe = fn(lm, pos24, du24, P, flag)
+
+    tol = dict(rtol=3e-5, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(qe), np.asarray(qe_r), **tol)
+    for c in range(6):
+        np.testing.assert_allclose(np.asarray(P_new[8*c:8*(c+1)]),
+                                   np.asarray(s_r[c]), **tol)
+        np.testing.assert_allclose(np.asarray(P_new[48+8*c:48+8*(c+1)]),
+                                   np.asarray(e_r[c]), **tol)
+    np.testing.assert_allclose(np.asarray(P_new[96:104]),
+                               np.asarray(eq_r), **tol)
+    np.testing.assert_allclose(np.asarray(P_new[104:112]),
+                               np.asarray(y_r), **tol)

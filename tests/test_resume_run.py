@@ -44,3 +44,24 @@ def test_resume_frame_numbering(tmp_path):
     assert "file010.vtk" in names
     assert "file006.vtk" in names
     assert "file005.vtk" not in names
+
+
+def test_resume_bitwise_under_unrolled_chunks(tmp_path):
+    """d_out = 40 -> the auto chunk unroll picks U=4; frame-aligned splits
+    must still be bitwise-identical (unroll groups align to absolute step
+    indices because every chunk is a multiple of U)."""
+    m = _model()
+    m.end_time = 0.04                       # 400 steps
+    cfg = SolverConfig(out_dir=str(tmp_path), output_num=10)  # d_out = 40
+    lm = lower(m, cfg)
+    full = run(lm, verbose=False, write_output=False)
+    assert int(full.t) == 400
+
+    part = run_chunk(lm, init_state(lm), 120)   # 3 frames in one chunk
+    resumed = run(lm, part, verbose=False, write_output=False)
+    np.testing.assert_array_equal(np.asarray(resumed.disp),
+                                  np.asarray(full.disp))
+    np.testing.assert_array_equal(np.asarray(resumed.stress),
+                                  np.asarray(full.stress))
+    np.testing.assert_array_equal(np.asarray(resumed.eq_ps),
+                                  np.asarray(full.eq_ps))
