@@ -137,7 +137,12 @@ def pallas_core_ok(model: LoweredModel, E: int, dt) -> bool:
     artifact of the async dispatch path."""
     if model.config.element_kernel not in ("pallas", "pallas_mxu"):
         return False
-    return (jax.default_backend() == "tpu"
+    import os
+    backend_ok = (jax.default_backend() == "tpu"
+                  or os.environ.get("HAKAI_PALLAS_FORCE") == "1")
+    # HAKAI_PALLAS_FORCE=1 lets tests drive the packed fast paths on the
+    # CPU backend (the kernels fall back to interpret mode there)
+    return (backend_ok
             and jnp.dtype(dt) == jnp.float32
             and E % _TILE_E == 0 and E >= _TILE_E)
 

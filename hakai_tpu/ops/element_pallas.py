@@ -81,6 +81,7 @@ def element_core_pallas(model: LoweredModel, pos_e, du, stress, strain,
             jax.ShapeDtypeStruct((8, E), dt),
             jax.ShapeDtypeStruct((8, E), dt),
         ],
+        interpret=jax.default_backend() != "tpu",
     )(jnp.asarray(_el._PUS, dt), pos_e, du, stress, strain, eq_ps, yield_s,
       flag_i, mat_i, G_i, lam_i, hasp_i)
     qe, stress_n, strain_n, eq_n, y_n = out

@@ -515,6 +515,52 @@ def _halo_step_fast(hm: HaloModel, lm: LoweredModel, s: HaloState,
     return new, disp_e, tuple(s_c), tuple(e_c), flag
 
 
+def _halo_step_fast_packed(hm: HaloModel, lm: LoweredModel, s: HaloState,
+                           disp_e_prev, P, flag_g):
+    """Packed-state variant of _halo_step_fast: the whole Gauss-point state
+    travels as one (112, El) array through the fused Pallas element kernel
+    (ops/element_pallas — "pallas" packed variant or "pallas_mxu"), exactly
+    mirroring solver.explicit.step_fast_packed on the window.  Engaged by
+    make_halo_step when ops.element.pallas_core_ok holds for the window
+    model, putting pod-scale shards (>=1M elements each, the HBM-spill
+    regime) on the hand kernel instead of the fused-XLA element math."""
+    base = hm.base
+    edt = base.edtype
+    H = hm.H
+    El = lm.E
+
+    t, disp_new, velo = _halo_integrate(hm, s, flag_g)
+    disp_w = _exchange_window(disp_new, H)               # (3, W)
+    disp_e = gather_disp_e(lm, disp_w)                   # (3, 8, El)
+    if (base.config.element_kernel == "pallas_mxu" and base.dtype == edt):
+        # in-kernel kinematics (f32 decks): pos/du never hit HBM
+        from ..ops.element_pallas import element_core_packed_mxu
+        P_new, qe = element_core_packed_mxu(
+            lm, hm.coord_e.reshape(24, El), disp_e.reshape(24, El),
+            P, s.element_flag, dprev24=disp_e_prev.reshape(24, El))
+    else:
+        from ..ops.element_pallas import element_core_packed
+        pos24 = (hm.coord_e
+                 + (disp_e - disp_e[:, 0:1, :]).astype(edt)).reshape(24, El)
+        du24 = (disp_e - disp_e_prev).astype(edt).reshape(24, El)
+        P_new, qe = element_core_packed(lm, pos24, du24, P, s.element_flag)
+    fw = assemble_internal_force(lm, qe.reshape(3, 8, El)).astype(base.dtype)
+    Q = _return_ghosts(fw, H)
+    flag = s.element_flag
+    if base.fracture_enabled:
+        from ..ops.element import triax_components
+        s_rows = [P_new[8 * c:8 * (c + 1)] for c in range(6)]
+        # deferred erosion zeroing — see solver.explicit.step_fast
+        triax = jnp.where(s.element_flag[None, :],
+                          triax_components(s_rows), 0.0)
+        flag, delete = erosion_delete_mask(lm, P_new[96:104], triax, flag)
+    else:
+        triax = s.triax                  # chunk-exit triax (see step_fast)
+    new = s.replace(t=t, disp=disp_new, disp_pre=s.disp, velo=velo, Q=Q,
+                    triax=triax, element_flag=flag)
+    return new, disp_e, P_new, flag
+
+
 def _halo_step(hm: HaloModel, s: HaloState, flag_g=None) -> HaloState:
     base = hm.base
     H = hm.H
@@ -607,9 +653,41 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
             lmw = _local_fast_model(mm)
             disp_w0 = _exchange_window(stt.disp, mm.H)
             disp_e0 = gather_disp_e(lmw, disp_w0)
+            dummy = jnp.zeros((0,), stt.stress.dtype)
+            fg_init = (_global_flags(mm, stt.element_flag) if carry_fg
+                       else jnp.zeros((0,), bool))
+            from ..ops.element import pallas_core_ok
+            if pallas_core_ok(lmw, mm.El, mm.base.edtype):
+                # fused Pallas element kernel on the window (packed state)
+                from ..solver.explicit import (pack_gauss_state,
+                                               unpack_gauss_state)
+                P0 = pack_gauss_state(stt, mm.El)
+                s0 = stt.replace(stress=dummy, strain=dummy, eq_ps=dummy,
+                                 yield_s=dummy)
+
+                def stepp(_, carry):
+                    st_c, de, Pc, fg = carry
+                    fg_use = fg if carry_fg else flag_g0
+                    new, de2, P2, flag = _halo_step_fast_packed(
+                        mm, lmw, st_c, de, Pc, fg_use)
+                    fg2 = _global_flags(mm, flag) if carry_fg else fg
+                    return new, de2, P2, fg2
+
+                out, _, Pn, _ = jax.lax.fori_loop(
+                    0, n_steps, stepp, (s0, disp_e0, P0, fg_init))
+                Pn = jnp.concatenate(      # deferred erosion zeroing
+                    [jnp.where(out.element_flag[None, :], Pn[:96], 0.0),
+                     Pn[96:]], axis=0)
+                out = unpack_gauss_state(out, Pn, mm.El)
+                if not mm.base.fracture_enabled:
+                    out = out.replace(triax=triax_stress(out.stress))
+                relead = lambda x: x[None] if hasattr(x, "shape") else x
+                return HaloState(
+                    t=out.t, **{f.name: relead(getattr(out, f.name))
+                                for f in dataclasses.fields(HaloState)
+                                if f.name != "t"})
             sc0 = tuple(stt.stress[c] for c in range(6))
             ec0 = tuple(stt.strain[c] for c in range(6))
-            dummy = jnp.zeros((0,), stt.stress.dtype)
             s0 = stt.replace(stress=dummy, strain=dummy)
 
             def stepb(_, carry):
@@ -620,8 +698,6 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
                 fg2 = _global_flags(mm, flag) if carry_fg else fg
                 return new, de2, sc2, ec2, fg2
 
-            fg_init = (_global_flags(mm, stt.element_flag) if carry_fg
-                       else jnp.zeros((0,), bool))
             out, _, sc, ec, _ = jax.lax.fori_loop(
                 0, n_steps, stepb, (s0, disp_e0, sc0, ec0, fg_init))
             keep = out.element_flag[None, None, :]  # deferred erosion zeroing

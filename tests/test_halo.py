@@ -138,6 +138,36 @@ def test_halo_fast_path_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("variant", ["pallas", "pallas_mxu"])
+def test_halo_packed_fast_path_matches_single_device(variant, monkeypatch):
+    """With element_kernel=pallas/pallas_mxu the halo fast path routes the
+    window element math through the packed Pallas kernel (interpret mode on
+    CPU via HAKAI_PALLAS_FORCE); numerics must match the same kernel on a
+    single device.  f32 deck so the MXU variant's in-kernel kinematics
+    engages (pos/du never materialized)."""
+    monkeypatch.setenv("HAKAI_PALLAS_FORCE", "1")
+    from hakai_tpu.ops.element import pallas_core_ok
+    from hakai_tpu.pre.synthetic import bar_model
+    m = bar_model(nx=8, ny=8, nz=128, d_time=1e-8, end_time=1.0)
+    cfg = SolverConfig(dtype="float32", node_pad=64, renumber="always",
+                       element_kernel=variant, elem_pad=1024)
+    lm = lower(m, cfg)
+    assert pallas_core_ok(lm, lm.E, lm.edtype)   # packed path engages
+    ref = run_chunk(lm, init_state(lm), 40)
+    hm = partition(lm, 8)
+    assert hm.h_plan_pos is not None, "fast path must engage at this size"
+    assert hm.El % 1024 == 0                     # halo packed path engages
+    stepn = make_halo_step(hm, make_mesh(8), n_steps=40)
+    got = gather_state(hm, stepn(init_halo_state(hm)))
+    # f32 state: halo-boundary assembly reassociates f32 sums vs the
+    # single-device lane order
+    np.testing.assert_allclose(np.asarray(got.disp), np.asarray(ref.disp),
+                               rtol=3e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.stress), np.asarray(ref.stress),
+                               rtol=3e-4, atol=3e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_halo_resume_roundtrip():
     """partition_state(gather_state(s)) continues exactly: 60+30 halo steps
     through a gather/scatter round trip equal 90 straight halo steps."""
