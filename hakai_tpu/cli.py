@@ -61,7 +61,18 @@ def main(argv=None):
                          "this many devices (pod-scale path: halo rows "
                          "plus the compact contact-node block ride the "
                          "interconnect)")
+    ap.add_argument("--element-kernel", default="auto",
+                    choices=["auto", "xla", "pallas", "pallas_mxu"],
+                    help="element-math backend: auto/xla = fused XLA "
+                         "(fastest in the VMEM-resident regime), "
+                         "pallas/pallas_mxu = fused Pallas packed kernel "
+                         "(pallas_mxu rides the constant contractions on "
+                         "the MXU; f32/mixed decks only)")
     args = ap.parse_args(argv)
+
+    elem_pad = args.elem_pad
+    if args.element_kernel in ("pallas", "pallas_mxu"):
+        elem_pad = max(elem_pad, 1024)   # kernel tile divisibility
 
     from .config import ContactConfig, SolverConfig
     cfg = SolverConfig(
@@ -75,8 +86,9 @@ def main(argv=None):
         # assembly plan's source 8*Es must be a multiple of 128); elem_pad=8
         # would silently drop the whole multi-chip path to the 3-5x-slower
         # XLA-gather fallback
-        elem_pad=(args.elem_pad if not args.devices
-                  else max(args.elem_pad, 16) * args.devices),
+        elem_pad=(elem_pad if not args.devices
+                  else max(elem_pad, 16) * args.devices),
+        element_kernel=args.element_kernel,
         contact=ContactConfig(kc=args.kc, kc_self=args.kc, myu=args.myu),
         renumber=("always" if args.halo else "auto"),
         metrics_path=args.metrics,
