@@ -115,15 +115,19 @@ def _make_packed_kernel(pl_tables, TE):
     return kernel
 
 
-def element_core_packed(model: LoweredModel, pos24, du24, P, flag):
+def element_core_packed(model: LoweredModel, pos24, du24, P, flag,
+                        want_triax=False):
     """Packed-buffer variant for the chunk loop: the whole Gauss-point
     state travels as ONE (112, E) array (stress 0:48, strain 48:96,
     eq_ps 96:104, yield 104:112) and pos/du as (24, E) row blocks, so each
     grid step issues ~9 buffer DMAs instead of 22 — DMA-issue latency, not
     bandwidth or flops, dominated the many-buffer variant (measured 2.4 ms
-    vs 0.68 ms XLA at 131k; this layout reaches ~0.3 ms)."""
+    vs 0.68 ms XLA at 131k; this layout reaches ~0.3 ms).  ``want_triax``
+    is honored by the MXU variant only (callers fall back to a post-kernel
+    triax when the result is a 2-tuple)."""
     if model.config.element_kernel == "pallas_mxu":
-        return element_core_packed_mxu(model, pos24, du24, P, flag)
+        return element_core_packed_mxu(model, pos24, du24, P, flag,
+                                       want_triax=want_triax)
     E = P.shape[1]
     TE = _el._TILE_E
     n_tiles = E // TE
@@ -198,11 +202,13 @@ def _mxu_tables():
     return CJ, CQ
 
 
-def _make_mxu_kernel(pl_tables, TE, kin_inside=False):
+def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False):
     hi = jax.lax.Precision.HIGHEST
     dn = (((1,), (0,)), ((), ()))      # plain (M,K)@(K,N)
 
     def kernel(cj_ref, cq_ref, P_ref, pos_ref, du_ref, *rest):
+        rest = list(rest)
+        tri_ref = rest.pop() if want_triax else None
         if kin_inside:
             dp_ref, fs_ref, is_ref, flag_ref, P_out, qe_ref = rest
         else:
@@ -307,16 +313,30 @@ def _make_mxu_kernel(pl_tables, TE, kin_inside=False):
                 P_ref[48 + 8 * c:48 + 8 * (c + 1)] + de[c]
         P_out[96:104] = w_(is_plastic, eq_ps + d_ep, eq_ps)
         P_out[104:112] = w_(is_plastic, yield_s + H * d_ep, yield_s)
+        if want_triax:
+            # triaxiality of the FINAL stress while it is still in VMEM
+            # (fracture decks; saves the post-kernel (6,8,E) re-read) —
+            # math identical to element.triax_components
+            vm_t = jnp.sqrt(0.5 * ((final[0] - final[1])**2
+                                   + (final[1] - final[2])**2
+                                   + (final[0] - final[2])**2
+                                   + 6.0 * (final[3]**2 + final[4]**2
+                                            + final[5]**2)))
+            mean_t = (final[0] + final[1] + final[2]) / 3.0
+            tri_ref[:] = w_(vm_t < 1e-10, 0.0,
+                            mean_t / w_(vm_t == 0, 1.0, vm_t))
     return kernel
 
 
 def element_core_packed_mxu(model: LoweredModel, pos24, du24, P, flag,
-                            dprev24=None):
+                            dprev24=None, want_triax=False):
     """MXU-assisted packed element kernel — same contract as
     element_core_packed (state in/out as one (112, E) buffer, qe as
     (24, E) rows).  With ``dprev24`` the caller passes
     (coord24, disp24, dprev24) instead of (pos24, du24) and the kinematic
-    differences happen inside the kernel (f32 decks only)."""
+    differences happen inside the kernel (f32 decks only).  With
+    ``want_triax`` a third (8, E) output carries the triaxiality of the
+    final stress (fracture decks; computed while stress is in VMEM)."""
     import os
     E = P.shape[1]
     TE = int(os.environ.get("HAKAI_MXU_TILE", 0)) or _el._TILE_E
@@ -343,18 +363,24 @@ def element_core_packed_mxu(model: LoweredModel, pos24, du24, P, flag,
 
     extra_specs = [spec(24)] if kin_inside else []
     extra_args = [dprev24] if kin_inside else []
-    P_new, qe = pl.pallas_call(
-        _make_mxu_kernel(model.pl_tables, TE, kin_inside=kin_inside),
+    out_specs = [spec(112), spec(24)]
+    out_shape = [jax.ShapeDtypeStruct((112, E), dt),
+                 jax.ShapeDtypeStruct((24, E), dt)]
+    if want_triax:
+        out_specs.append(spec(8))
+        out_shape.append(jax.ShapeDtypeStruct((8, E), dt))
+    out = pl.pallas_call(
+        _make_mxu_kernel(model.pl_tables, TE, kin_inside=kin_inside,
+                         want_triax=want_triax),
         grid=(n_tiles,),
         in_specs=[
             cspec((72, 24)), cspec((24, 72)),
             spec(112), spec(24), spec(24), *extra_specs,
             spec(2), spec(2), spec(1),
         ],
-        out_specs=[spec(112), spec(24)],
-        out_shape=[jax.ShapeDtypeStruct((112, E), dt),
-                   jax.ShapeDtypeStruct((24, E), dt)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
     )(jnp.asarray(CJ, dt), jnp.asarray(CQ, dt), P, pos24, du24,
       *extra_args, fstat, istat, flag_i)
-    return P_new, qe
+    return tuple(out)

@@ -532,27 +532,34 @@ def _halo_step_fast_packed(hm: HaloModel, lm: LoweredModel, s: HaloState,
     t, disp_new, velo = _halo_integrate(hm, s, flag_g)
     disp_w = _exchange_window(disp_new, H)               # (3, W)
     disp_e = gather_disp_e(lm, disp_w)                   # (3, 8, El)
+    wt = base.fracture_enabled           # in-kernel triax (MXU variant)
     if (base.config.element_kernel == "pallas_mxu" and base.dtype == edt):
         # in-kernel kinematics (f32 decks): pos/du never hit HBM
         from ..ops.element_pallas import element_core_packed_mxu
-        P_new, qe = element_core_packed_mxu(
+        out = element_core_packed_mxu(
             lm, hm.coord_e.reshape(24, El), disp_e.reshape(24, El),
-            P, s.element_flag, dprev24=disp_e_prev.reshape(24, El))
+            P, s.element_flag, dprev24=disp_e_prev.reshape(24, El),
+            want_triax=wt)
     else:
         from ..ops.element_pallas import element_core_packed
         pos24 = (hm.coord_e
                  + (disp_e - disp_e[:, 0:1, :]).astype(edt)).reshape(24, El)
         du24 = (disp_e - disp_e_prev).astype(edt).reshape(24, El)
-        P_new, qe = element_core_packed(lm, pos24, du24, P, s.element_flag)
+        out = element_core_packed(lm, pos24, du24, P, s.element_flag,
+                                  want_triax=wt)
+    P_new, qe = out[0], out[1]
     fw = assemble_internal_force(lm, qe.reshape(3, 8, El)).astype(base.dtype)
     Q = _return_ghosts(fw, H)
     flag = s.element_flag
     if base.fracture_enabled:
-        from ..ops.element import triax_components
-        s_rows = [P_new[8 * c:8 * (c + 1)] for c in range(6)]
+        if len(out) > 2:
+            triax_raw = out[2]           # computed in-kernel (final stress)
+        else:
+            from ..ops.element import triax_components
+            s_rows = [P_new[8 * c:8 * (c + 1)] for c in range(6)]
+            triax_raw = triax_components(s_rows)
         # deferred erosion zeroing — see solver.explicit.step_fast
-        triax = jnp.where(s.element_flag[None, :],
-                          triax_components(s_rows), 0.0)
+        triax = jnp.where(s.element_flag[None, :], triax_raw, 0.0)
         flag, delete = erosion_delete_mask(lm, P_new[96:104], triax, flag)
     else:
         triax = s.triax                  # chunk-exit triax (see step_fast)

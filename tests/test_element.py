@@ -264,3 +264,60 @@ def test_packed_pallas_kernel_matches_xla_math(variant):
                                np.asarray(eq_r), **tol)
     np.testing.assert_allclose(np.asarray(P_new[104:112]),
                                np.asarray(y_r), **tol)
+
+    if variant != "pallas":
+        # in-kernel triaxiality (fracture decks) matches the post-kernel
+        # triax_components of the returned final stress
+        if variant == "pallas_mxu_kin":
+            _, _, tri = element_core_packed_mxu(
+                lm, coord_e.reshape(24, E), disp_e.reshape(24, E), P, flag,
+                dprev24=disp_e_prev.reshape(24, E), want_triax=True)
+        else:
+            _, _, tri = element_core_packed_mxu(lm, pos24, du24, P, flag,
+                                                want_triax=True)
+        tri_ref = el.triax_components([s_r[c] for c in range(6)])
+        np.testing.assert_allclose(np.asarray(tri), np.asarray(tri_ref),
+                                   rtol=3e-4, atol=1e-5)
+
+
+def test_packed_fast_chunk_fracture_matches_xla(monkeypatch):
+    """run_chunk on a ductile (fracture-enabled) deck routes the packed MXU
+    kernel's in-kernel triax + erosion branch; results must match the fused
+    XLA path (MXU reassociation => f32-roundoff tolerance)."""
+    monkeypatch.setenv("HAKAI_PALLAS_FORCE", "1")
+    import jax.numpy as jnp
+
+    from hakai_tpu.core.state import init_state
+    from hakai_tpu.io.model import IC
+    from hakai_tpu.pre.synthetic import bar_model
+    from hakai_tpu.solver.explicit import run_chunk
+
+    def deck():
+        m = bar_model(nx=4, ny=4, nz=32, d_time=5e-8, end_time=1.0,
+                      ductile=True)
+        # low fracture-strain table so the 120-step window actually erodes
+        m.materials[0].ductile = np.array(
+            [[1e-3, 0.0, 30.0], [5e-4, 0.3, 30.0]])
+        dofs = np.arange(1, m.n_node * 3 + 1, 3) + 2
+        m.ics.append(IC(type="VELOCITY", dof=[dofs], value=[5.0e4]))
+        return m
+
+    lm_x = lower(deck(), SolverConfig(dtype="float32", elem_pad=1024))
+    assert lm_x.fracture_enabled
+    ref = run_chunk(lm_x, init_state(lm_x), 120)
+    n_alive = int(np.asarray(ref.element_flag).sum())
+    assert n_alive < int(np.asarray(lm_x.elem_exists).sum())  # erosion fired
+
+    lm_p = lower(deck(), SolverConfig(dtype="float32", elem_pad=1024,
+                                      element_kernel="pallas_mxu"))
+    got = run_chunk(lm_p, init_state(lm_p), 120)
+    np.testing.assert_array_equal(np.asarray(got.element_flag),
+                                  np.asarray(ref.element_flag))
+    # abs tol covers near-zero components (disp is O(0.3) here); the MXU
+    # reassociation noise is ~1e-6 absolute after 120 plastic/erosion steps
+    np.testing.assert_allclose(np.asarray(got.disp), np.asarray(ref.disp),
+                               rtol=3e-5, atol=5e-6)
+    # triax = mean/vm amplifies f32 noise where vm ~ 0 (observed: 5/8192
+    # points off by <=0.007 on a +-3.8 range after 120 steps)
+    np.testing.assert_allclose(np.asarray(got.triax), np.asarray(ref.triax),
+                               rtol=3e-4, atol=2e-2)
