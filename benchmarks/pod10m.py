@@ -49,7 +49,8 @@ def main():
 
     t0 = time.perf_counter()
     cfg = SolverConfig(dtype=os.environ.get("POD_DTYPE", "float32"),
-                       node_pad=128 * n_dev, elem_pad=128)
+                       node_pad=128 * n_dev, elem_pad=128,
+                       element_kernel=os.environ.get("POD_EKERNEL", "auto"))
     model = lower(m, cfg)
     t_lower = time.perf_counter() - t0
     print(f"lowering (+ single-chip plans): {t_lower:.1f} s  "
