@@ -223,3 +223,22 @@ def test_run_halo_vtk(tmp_path):
                 np.array([float(x) for x in fb]),
                 rtol=1e-6, atol=1e-6 * scale,
                 err_msg=f"{name}: {a} vs {b}")
+
+
+@pytest.mark.slow
+def test_pod_scale_partition_stays_on_fast_path():
+    """Regression guard for the pod-scale claim: a 2M-element bar's 8-shard
+    halo partition must keep its window-local Pallas plans (both the element
+    gather and the assembly lanes).  Above ~1M elements these used to fall
+    back to XLA gathers until the geometric-sweep renumbering candidate and
+    slot-pure assembly lanes landed (docs/PERF.md round-3 ledger).  Plan
+    build only — no jit, no stepping."""
+    from hakai_tpu.pre.synthetic import bar_model
+    m = bar_model(nx=64, ny=64, nz=512, d_time=1e-8, end_time=1.0)
+    lm = lower(m, SolverConfig(dtype="float32", node_pad=128 * 8,
+                               elem_pad=128, renumber="always"))
+    assert lm.plan_pos is not None       # single-chip plans hold at 2M
+    hm = partition(lm, 8)
+    assert hm.h_plan_pos is not None, "element-gather window plan fell back"
+    assert hm.h_plan_asm is not None, "assembly lane plan fell back"
+    assert hm.El % 1024 == 0             # packed-kernel tile divisibility
