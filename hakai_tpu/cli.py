@@ -72,6 +72,10 @@ def main(argv=None):
 
     elem_pad = args.elem_pad
     if args.element_kernel in ("pallas", "pallas_mxu"):
+        if args.precision == "f64":
+            ap.error(f"--element-kernel {args.element_kernel} requires "
+                     "--precision f32 or mixed (TPU custom calls cannot "
+                     "take f64; the kernel would silently never engage)")
         elem_pad = max(elem_pad, 1024)   # kernel tile divisibility
 
     from .config import ContactConfig, SolverConfig

@@ -138,10 +138,19 @@ def pallas_core_ok(model: LoweredModel, E: int, dt) -> bool:
     if model.config.element_kernel not in ("pallas", "pallas_mxu"):
         return False
     import os
-    backend_ok = (jax.default_backend() == "tpu"
-                  or os.environ.get("HAKAI_PALLAS_FORCE") == "1")
-    # HAKAI_PALLAS_FORCE=1 lets tests drive the packed fast paths on the
-    # CPU backend (the kernels fall back to interpret mode there)
+    backend_ok = jax.default_backend() == "tpu"
+    if not backend_ok and os.environ.get("HAKAI_PALLAS_FORCE") == "1":
+        # test knob: drive the packed fast paths on the CPU backend (the
+        # kernels fall back to interpret mode there).  Warn once — if this
+        # leaks into a real run it is orders of magnitude slower than the
+        # XLA path.
+        backend_ok = True
+        if not getattr(pallas_core_ok, "_force_warned", False):
+            pallas_core_ok._force_warned = True
+            import warnings
+            warnings.warn("HAKAI_PALLAS_FORCE=1: running the packed Pallas "
+                          "element kernel in interpret mode on a non-TPU "
+                          "backend (test knob; very slow)")
     return (backend_ok
             and jnp.dtype(dt) == jnp.float32
             and E % _TILE_E == 0 and E >= _TILE_E)

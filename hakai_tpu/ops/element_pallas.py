@@ -384,3 +384,44 @@ def element_core_packed_mxu(model: LoweredModel, pos24, du24, P, flag,
     )(jnp.asarray(CJ, dt), jnp.asarray(CQ, dt), P, pos24, du24,
       *extra_args, fstat, istat, flag_i)
     return tuple(out)
+
+
+def packed_element_step(model: LoweredModel, coord_e, disp_e, disp_e_prev,
+                        P, flag):
+    """Shared packed-kernel dispatch + fracture bookkeeping for the chunk
+    steppers (solver.explicit.step_fast_packed and the halo fast path).
+
+    Picks the MXU in-kernel-kinematics variant on pure-f32 decks (pos/du
+    never materialized in HBM), the packed kernel otherwise; on fracture
+    decks requests/derives the triaxiality of the final stress and walks
+    the erosion table.  Returns ``(P_new, qe24, triax, flag)`` where triax
+    is None on fracture-free decks (callers keep their chunk-exit triax)
+    and flag is the post-erosion life mask."""
+    from .element import triax_components
+    from .erosion import erosion_delete_mask
+
+    edt = model.edtype
+    E = P.shape[1]
+    wt = model.fracture_enabled          # in-kernel triax (MXU variant)
+    if model.config.element_kernel == "pallas_mxu" and model.dtype == edt:
+        out = element_core_packed_mxu(
+            model, coord_e.reshape(24, E), disp_e.reshape(24, E), P, flag,
+            dprev24=disp_e_prev.reshape(24, E), want_triax=wt)
+    else:
+        pos24 = (coord_e
+                 + (disp_e - disp_e[:, 0:1, :]).astype(edt)).reshape(24, E)
+        du24 = (disp_e - disp_e_prev).astype(edt).reshape(24, E)
+        out = element_core_packed(model, pos24, du24, P, flag, want_triax=wt)
+    P_new, qe = out[0], out[1]
+    triax = None
+    if model.fracture_enabled:
+        if len(out) > 2:
+            triax_raw = out[2]           # computed in-kernel (final stress)
+        else:
+            triax_raw = triax_components(
+                [P_new[8 * c:8 * (c + 1)] for c in range(6)])
+        # deferred erosion zeroing: dead elements carry stale stress; the
+        # reference's triax for them is 0 (see solver.explicit.step_fast)
+        triax = jnp.where(flag[None, :], triax_raw, 0.0)
+        flag, _ = erosion_delete_mask(model, P_new[96:104], triax, flag)
+    return P_new, qe, triax, flag

@@ -525,43 +525,18 @@ def _halo_step_fast_packed(hm: HaloModel, lm: LoweredModel, s: HaloState,
     model, putting pod-scale shards (>=1M elements each, the HBM-spill
     regime) on the hand kernel instead of the fused-XLA element math."""
     base = hm.base
-    edt = base.edtype
     H = hm.H
     El = lm.E
 
     t, disp_new, velo = _halo_integrate(hm, s, flag_g)
     disp_w = _exchange_window(disp_new, H)               # (3, W)
     disp_e = gather_disp_e(lm, disp_w)                   # (3, 8, El)
-    wt = base.fracture_enabled           # in-kernel triax (MXU variant)
-    if (base.config.element_kernel == "pallas_mxu" and base.dtype == edt):
-        # in-kernel kinematics (f32 decks): pos/du never hit HBM
-        from ..ops.element_pallas import element_core_packed_mxu
-        out = element_core_packed_mxu(
-            lm, hm.coord_e.reshape(24, El), disp_e.reshape(24, El),
-            P, s.element_flag, dprev24=disp_e_prev.reshape(24, El),
-            want_triax=wt)
-    else:
-        from ..ops.element_pallas import element_core_packed
-        pos24 = (hm.coord_e
-                 + (disp_e - disp_e[:, 0:1, :]).astype(edt)).reshape(24, El)
-        du24 = (disp_e - disp_e_prev).astype(edt).reshape(24, El)
-        out = element_core_packed(lm, pos24, du24, P, s.element_flag,
-                                  want_triax=wt)
-    P_new, qe = out[0], out[1]
+    from ..ops.element_pallas import packed_element_step
+    P_new, qe, triax, flag = packed_element_step(
+        lm, hm.coord_e, disp_e, disp_e_prev, P, s.element_flag)
     fw = assemble_internal_force(lm, qe.reshape(3, 8, El)).astype(base.dtype)
     Q = _return_ghosts(fw, H)
-    flag = s.element_flag
-    if base.fracture_enabled:
-        if len(out) > 2:
-            triax_raw = out[2]           # computed in-kernel (final stress)
-        else:
-            from ..ops.element import triax_components
-            s_rows = [P_new[8 * c:8 * (c + 1)] for c in range(6)]
-            triax_raw = triax_components(s_rows)
-        # deferred erosion zeroing — see solver.explicit.step_fast
-        triax = jnp.where(s.element_flag[None, :], triax_raw, 0.0)
-        flag, delete = erosion_delete_mask(lm, P_new[96:104], triax, flag)
-    else:
+    if triax is None:
         triax = s.triax                  # chunk-exit triax (see step_fast)
     new = s.replace(t=t, disp=disp_new, disp_pre=s.disp, velo=velo, Q=Q,
                     triax=triax, element_flag=flag)
@@ -686,30 +661,24 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
                     [jnp.where(out.element_flag[None, :], Pn[:96], 0.0),
                      Pn[96:]], axis=0)
                 out = unpack_gauss_state(out, Pn, mm.El)
-                if not mm.base.fracture_enabled:
-                    out = out.replace(triax=triax_stress(out.stress))
-                relead = lambda x: x[None] if hasattr(x, "shape") else x
-                return HaloState(
-                    t=out.t, **{f.name: relead(getattr(out, f.name))
-                                for f in dataclasses.fields(HaloState)
-                                if f.name != "t"})
-            sc0 = tuple(stt.stress[c] for c in range(6))
-            ec0 = tuple(stt.strain[c] for c in range(6))
-            s0 = stt.replace(stress=dummy, strain=dummy)
+            else:
+                sc0 = tuple(stt.stress[c] for c in range(6))
+                ec0 = tuple(stt.strain[c] for c in range(6))
+                s0 = stt.replace(stress=dummy, strain=dummy)
 
-            def stepb(_, carry):
-                st_c, de, sc, ec, fg = carry
-                fg_use = fg if carry_fg else flag_g0
-                new, de2, sc2, ec2, flag = _halo_step_fast(
-                    mm, lmw, st_c, de, sc, ec, fg_use)
-                fg2 = _global_flags(mm, flag) if carry_fg else fg
-                return new, de2, sc2, ec2, fg2
+                def stepb(_, carry):
+                    st_c, de, sc, ec, fg = carry
+                    fg_use = fg if carry_fg else flag_g0
+                    new, de2, sc2, ec2, flag = _halo_step_fast(
+                        mm, lmw, st_c, de, sc, ec, fg_use)
+                    fg2 = _global_flags(mm, flag) if carry_fg else fg
+                    return new, de2, sc2, ec2, fg2
 
-            out, _, sc, ec, _ = jax.lax.fori_loop(
-                0, n_steps, stepb, (s0, disp_e0, sc0, ec0, fg_init))
-            keep = out.element_flag[None, None, :]  # deferred erosion zeroing
-            out = out.replace(stress=jnp.where(keep, jnp.stack(sc), 0.0),
-                              strain=jnp.where(keep, jnp.stack(ec), 0.0))
+                out, _, sc, ec, _ = jax.lax.fori_loop(
+                    0, n_steps, stepb, (s0, disp_e0, sc0, ec0, fg_init))
+                keep = out.element_flag[None, None, :]  # deferred zeroing
+                out = out.replace(stress=jnp.where(keep, jnp.stack(sc), 0.0),
+                                  strain=jnp.where(keep, jnp.stack(ec), 0.0))
             if not mm.base.fracture_enabled:  # chunk-exit triax (step_fast)
                 out = out.replace(triax=triax_stress(out.stress))
         else:

@@ -195,46 +195,17 @@ def step_fast_packed(model: LoweredModel, state: SimState, disp_e_prev, P):
     Gauss-point state travels as one packed (112, E) array ``P`` (see
     ops/element_pallas.element_core_packed), minimizing the kernel's
     per-grid-step DMA issues."""
-    from ..ops.element import (assemble_internal_force, gather_disp_e,
-                               triax_components)
-    from ..ops.element_pallas import element_core_packed
-    from ..ops.erosion import erosion_delete_mask
+    from ..ops.element import assemble_internal_force, gather_disp_e
+    from ..ops.element_pallas import packed_element_step
 
-    edt = model.edtype
     E = model.E
     t, disp_new, velo, cforce = _integrate(model, state)
     disp_e = gather_disp_e(model, disp_new)
-    wt = model.fracture_enabled          # in-kernel triax (MXU variant)
-    if (model.config.element_kernel == "pallas_mxu"
-            and model.dtype == edt):
-        # in-kernel kinematics: pos/du are never materialized in HBM
-        # (same-dtype decks only — mixed mode must difference in f64
-        # before the f32 cast, see element_kinematics)
-        from ..ops.element_pallas import element_core_packed_mxu
-        out = element_core_packed_mxu(
-            model, model.coord_e.reshape(24, E), disp_e.reshape(24, E),
-            P, state.element_flag,
-            dprev24=disp_e_prev.reshape(24, E), want_triax=wt)
-    else:
-        pos24 = (model.coord_e
-                 + (disp_e - disp_e[:, 0:1, :]).astype(edt)).reshape(24, E)
-        du24 = (disp_e - disp_e_prev).astype(edt).reshape(24, E)
-        out = element_core_packed(model, pos24, du24, P,
-                                  state.element_flag, want_triax=wt)
-    P_new, qe = out[0], out[1]
+    P_new, qe, triax, flag = packed_element_step(
+        model, model.coord_e, disp_e, disp_e_prev, P, state.element_flag)
     Q = assemble_internal_force(model, qe.reshape(3, 8, E)
                                 ).astype(model.dtype)
-    flag = state.element_flag
-    if model.fracture_enabled:
-        if len(out) > 2:
-            triax_raw = out[2]           # computed in-kernel (final stress)
-        else:
-            s_rows = [P_new[8 * c:8 * (c + 1)] for c in range(6)]
-            triax_raw = triax_components(s_rows)
-        # deferred erosion zeroing — see step_fast
-        triax = jnp.where(state.element_flag[None, :], triax_raw, 0.0)
-        flag, delete = erosion_delete_mask(model, P_new[96:104], triax, flag)
-    else:
+    if triax is None:
         triax = state.triax              # chunk-exit triax (see step_fast)
     new_state = state.replace(
         t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
