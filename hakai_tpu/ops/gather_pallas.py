@@ -770,12 +770,21 @@ _PHYS_SENTINEL = 127 * 128      # drow 127: never selected (dk <= 32)
 
 def plan_assemble_phys(elem: np.ndarray, nE: int, E: int, N: int,
                        r_tile: int = 2048, dk_max: int = 8,
-                       rounds_max: int = 4) -> AsmPhysPlan:
+                       rounds_max: int = 4, force_pads=None,
+                       min_dk: int = 0, min_rounds: int = 0,
+                       min_k0: int = 0) -> AsmPhysPlan:
     """Build an :class:`AsmPhysPlan` from the (8, E) connectivity.
 
     ``ok=False`` when the mesh numbering defeats the diagonal-window
     assumption (node tile's incident elements drift nonlinearly) or a node
     has more than ``rounds_max`` incident elements on one local corner.
+
+    ``force_pads``/``min_dk``/``min_rounds``/``min_k0`` override the
+    data-derived values upward so several per-shard plans can share one set
+    of static fields (see :func:`plan_sharded_assemble_phys`) — all are
+    sound to raise: extra dk rounds select nothing, extra dup rounds are
+    sentinel rows, a larger k0 just shifts every window inside a larger
+    scratch.
     """
     rows = r_tile // LANE
     if N % r_tile or E % LANE:
@@ -799,6 +808,7 @@ def plan_assemble_phys(elem: np.ndarray, nE: int, E: int, N: int,
     rounds = int(dup.max()) + 1 if len(key) else 1
     if rounds > rounds_max:
         return AsmPhysPlan(ok=False)
+    rounds = max(rounds, min_rounds)
 
     # dense (N, rounds, 8) element table, -1 invalid
     tbl = np.full((N, rounds, 8), -1, np.int64)
@@ -811,11 +821,14 @@ def plan_assemble_phys(elem: np.ndarray, nE: int, E: int, N: int,
     # collapses all slots into one narrow shared window
     node_blk = (np.arange(N) >> 7)
     rel = np.where(valid0, (tbl >> 7) - node_blk[:, None, None], 0)
-    shift_i = np.zeros(8, np.int64)
-    for i in range(8):
-        v = rel[:, :, i][valid0[:, :, i]]
-        shift_i[i] = np.median(v) if v.size else 0
-    pad_i = (shift_i.max() - shift_i)            # front pad per slot, blocks
+    if force_pads is not None:
+        pad_i = np.asarray(force_pads, np.int64)   # front pad/slot, blocks
+    else:
+        shift_i = np.zeros(8, np.int64)
+        for i in range(8):
+            v = rel[:, :, i][valid0[:, :, i]]
+            shift_i[i] = np.median(v) if v.size else 0
+        pad_i = (shift_i.max() - shift_i)          # front pad/slot, blocks
     src_len = E + int(pad_i.max()) * LANE
     tbl_s = np.where(valid0, tbl + pad_i[None, None, :] * LANE, -1)
 
@@ -830,13 +843,14 @@ def plan_assemble_phys(elem: np.ndarray, nE: int, E: int, N: int,
     dk = int(delta.max()) + 1 if valid0.any() else 1
     if delta.min() < 0 or dk > dk_max:
         return AsmPhysPlan(ok=False)
+    dk = max(dk, min_dk)
 
     Eblk = src_len // LANE
     w_blocks = rows + dk - 1
     if Eblk < w_blocks:
         return AsmPhysPlan(ok=False)
     src_start = np.clip(vb_t, 0, Eblk - w_blocks)
-    k0 = int(max((vb_t - src_start).max(), 0))
+    k0 = max(int(max((vb_t - src_start).max(), 0)), min_k0)
     shifts = k0 - (vb_t - src_start)
     scratch_blocks = int(shifts.max()) + w_blocks
 
@@ -955,6 +969,56 @@ def blocked_assemble_phys(qe, plan: AsmPhysPlan) -> jnp.ndarray:
         grid_spec=grid_spec,
     )(plan.starts, plan.shifts, plan.lidx, src)
     return out.reshape(C, plan.N)
+
+
+def plan_sharded_assemble_phys(elem_per_shard, nE_per_shard, E: int, N: int,
+                               r_tile: int = 2048) -> AsmPhysPlan | None:
+    """Per-shard physical-layout assembly plans with *uniform* static meta,
+    stacked on a leading shard axis (use :func:`plan_local` on the
+    device-local slice inside shard_map, exactly like sharded gather plans).
+
+    The per-shard meta differs only through window-boundary effects (a
+    boundary shard's per-slot median offset can land one block off), so the
+    plans are re-built with a common pad vector and the max dk / rounds /
+    k0 forced; scratch_blocks is then maxed post-hoc (it only sizes the
+    VMEM scratch).  Returns None when any shard's plan is not ok — callers
+    keep the lane-plan fallback."""
+    S = len(elem_per_shard)
+
+    def plan_all(**kw):
+        return [plan_assemble_phys(elem_per_shard[d], nE_per_shard[d], E, N,
+                                   r_tile=r_tile, **kw) for d in range(S)]
+
+    def meta_set(ps):
+        return {(p.rows, p.dk, p.rounds, p.n_tiles, p.w_blocks, p.k0,
+                 p.scratch_blocks, p.N, p.slot_pad, p.src_len) for p in ps}
+
+    plans = plan_all()
+    if not all(p.ok for p in plans):
+        return None
+    if len(meta_set(plans)) != 1:      # boundary shards drifted — force
+        pads = np.max([np.asarray(p.slot_pad, np.int64) // LANE
+                       for p in plans], axis=0)
+        plans = plan_all(force_pads=pads)
+        if not all(p.ok for p in plans):
+            return None
+        plans = plan_all(force_pads=pads,
+                         min_dk=max(p.dk for p in plans),
+                         min_rounds=max(p.rounds for p in plans),
+                         min_k0=max(p.k0 for p in plans))
+        if not all(p.ok for p in plans):
+            return None
+    scratch = max(p.scratch_blocks for p in plans)
+    plans = [dataclasses.replace(p, scratch_blocks=scratch) for p in plans]
+    meta = {(p.rows, p.dk, p.rounds, p.n_tiles, p.w_blocks, p.k0,
+             p.scratch_blocks, p.N, p.slot_pad, p.src_len) for p in plans}
+    if len(meta) != 1:
+        return None
+    return dataclasses.replace(
+        plans[0],
+        starts=jnp.stack([p.starts for p in plans]),
+        shifts=jnp.stack([p.shifts for p in plans]),
+        lidx=jnp.stack([p.lidx for p in plans]))
 
 
 def plan_sharded_gather(indices_per_shard, source_len: int,

@@ -42,7 +42,8 @@ from ..ops.contact import contact_forces_pv
 from ..ops.element import (assemble_internal_force, element_update,
                            element_core_c, gather_disp_e, triax_stress)
 from ..ops.erosion import erode, erosion_delete_mask
-from ..ops.gather_pallas import plan_local, plan_sharded_gather
+from ..ops.gather_pallas import (plan_local, plan_sharded_assemble_phys,
+                                 plan_sharded_gather)
 from ..solver.explicit import amplitude_values
 
 # fields that stay replicated across the mesh (static index maps every
@@ -84,6 +85,8 @@ class HaloModel:
     coord_e: jnp.ndarray = None        # (S, 3, 8, El) centered on node 0
     h_plan_pos: object = None          # stacked per-shard (3,W)->(3,8El) plan
     h_plan_asm: object = None          # stacked per-shard assembly-lane plan
+    h_plan_asm2: object = None         # stacked per-shard phys-layout
+    #                                    assembly plan (HBM-spill regime)
     h_asm_mask: jnp.ndarray = None     # (S, VL, W) bool
     # --- contact: compact exchange of contact-relevant node rows ---
     cn_local: jnp.ndarray = None       # (S, Ncs) int32 owned-row id (0 pad)
@@ -217,7 +220,7 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
 
     # --- per-shard window plans (fast path) ---
     coord_np = np.asarray(model.coord)
-    coord_e_s = h_plan_pos = h_plan_asm = h_asm_mask_j = None
+    coord_e_s = h_plan_pos = h_plan_asm = h_plan_asm2 = h_asm_mask_j = None
     h_asm_vl = 0
     if use_plans:
         idx_list, val_list = [], []
@@ -251,6 +254,12 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
         h_plan_asm = plan_sharded_gather(asm_idx, 8 * El,
                                          valid_per_shard=asm_val)
         h_asm_mask_j = jnp.asarray(np.stack(asm_mask_s))
+        # physical-layout assembly plan for the HBM-spill regime (the
+        # single-chip path's ~2 ms/step win at 1M elements; engaged by
+        # assemble_internal_force when El >= its min-E gate on TPU)
+        h_plan_asm2 = plan_sharded_assemble_phys(
+            [elem_w[d] for d in range(S)],
+            [len(ids) for ids in shard_elems], El, W)
         # centered element-node coordinates for the disp_e-carry fast path
         ce = np.zeros((S, 3, 8, El))
         for d, ids in enumerate(shard_elems):
@@ -316,7 +325,7 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
         bc_amp=jnp.asarray(shard_nodes(bc_amp), jnp.int32),
         velo0=jnp.asarray(shard_nodes(np.asarray(model.velo0)), dtype),
         coord_e=coord_e_s, h_plan_pos=h_plan_pos, h_plan_asm=h_plan_asm,
-        h_asm_mask=h_asm_mask_j,
+        h_plan_asm2=h_plan_asm2, h_asm_mask=h_asm_mask_j,
         cn_local=cn_local, cn_mask=cn_mask_j, cn_inv=cn_inv,
         eg_inv=eg_inv,
     )
@@ -467,7 +476,8 @@ def _local_fast_model(hm: HaloModel) -> LoweredModel:
         hm.base, N=W, E=hm.El, elem=hm.elem_w, mat_id=hm.mat_id,
         G_e=hm.G_e, lam_e=hm.lam_e, has_plastic_e=hm.has_plastic_e,
         yield0_e=hm.yield0_e,
-        plan_pos=hm.h_plan_pos, plan_asm=hm.h_plan_asm, plan_asm2=None,
+        plan_pos=hm.h_plan_pos, plan_asm=hm.h_plan_asm,
+        plan_asm2=hm.h_plan_asm2,
         asm_mask=hm.h_asm_mask, asm_vl=hm.h_asm_vl,
         coord_e=None, inc_idx=None, inc_mask=None, pairs=())
 
@@ -595,9 +605,13 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
                     if hm.h_plan_pos is not None else None),
         h_plan_asm=(jax.tree_util.tree_map(lambda _: P("dp"), hm.h_plan_asm)
                     if hm.h_plan_asm is not None else None),
+        h_plan_asm2=(jax.tree_util.tree_map(lambda _: P("dp"),
+                                            hm.h_plan_asm2)
+                     if hm.h_plan_asm2 is not None else None),
         **{f.name: spec_of(f.name, getattr(hm, f.name))
            for f in dataclasses.fields(hm)
-           if f.name not in ("base", "h_plan_pos", "h_plan_asm")
+           if f.name not in ("base", "h_plan_pos", "h_plan_asm",
+                             "h_plan_asm2")
            and not f.metadata.get("static")
            and getattr(hm, f.name) is not None})
     sspec = HaloState(
@@ -615,9 +629,12 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
                         if m.h_plan_pos is not None else None),
             h_plan_asm=(plan_local(m.h_plan_asm)
                         if m.h_plan_asm is not None else None),
+            h_plan_asm2=(plan_local(m.h_plan_asm2)
+                         if m.h_plan_asm2 is not None else None),
             **{f.name: unlead(getattr(m, f.name))
                for f in dataclasses.fields(m)
-               if f.name not in ("base", "h_plan_pos", "h_plan_asm")
+               if f.name not in ("base", "h_plan_pos", "h_plan_asm",
+                                 "h_plan_asm2")
                and f.name not in _REPL_FIELDS
                and not f.metadata.get("static")})
         stt = HaloState(t=st.t, **{f.name: unlead(getattr(st, f.name))

@@ -154,3 +154,39 @@ def test_phys_asm_plan_matches_direct():
                   qe[:, i, :lm.n_element])
     got = _emulate_phys_asm(qe, plan)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_phys_asm_plan_matches_direct():
+    """plan_sharded_assemble_phys: uniform static meta across shards (the
+    boundary shards' slot pads are forced common) and each shard's kernel
+    indexing reproduces a direct scatter-add on its window."""
+    import dataclasses as _dc
+
+    from hakai_tpu.config import SolverConfig
+    from hakai_tpu.core.lowering import lower
+    from hakai_tpu.parallel.halo import partition
+    from hakai_tpu.pre.synthetic import bar_model
+
+    m = bar_model(nx=16, ny=16, nz=128, d_time=1e-8, end_time=1.0)  # 32k
+    lm = lower(m, SolverConfig(dtype="float32", node_pad=128 * 8,
+                               elem_pad=128, renumber="always"))
+    hm = partition(lm, 8)
+    plan = hm.h_plan_asm2
+    assert plan is not None, "bar partition must produce a sharded phys plan"
+    W = hm.No + 2 * hm.H
+    assert plan.N == W
+    ew = np.asarray(hm.elem_w)
+    al = np.asarray(hm.elem_alive0)
+    rng = np.random.default_rng(3)
+    for d in range(8):
+        local = _dc.replace(plan,
+                            starts=plan.starts[d], shifts=plan.shifts[d],
+                            lidx=plan.lidx[d])
+        k = int(al[d].sum())
+        qe = rng.standard_normal((3, 8, hm.El)).astype(np.float32)
+        qe[:, :, k:] = 0.0            # padding elements carry no force
+        ref = np.zeros((3, W), np.float32)
+        for i in range(8):
+            np.add.at(ref, (slice(None), ew[d, i, :k]), qe[:, i, :k])
+        got = _emulate_phys_asm(qe, local)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
