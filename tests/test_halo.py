@@ -241,4 +241,5 @@ def test_pod_scale_partition_stays_on_fast_path():
     hm = partition(lm, 8)
     assert hm.h_plan_pos is not None, "element-gather window plan fell back"
     assert hm.h_plan_asm is not None, "assembly lane plan fell back"
+    assert hm.h_plan_asm2 is not None, "phys-layout assembly plan fell back"
     assert hm.El % 1024 == 0             # packed-kernel tile divisibility
