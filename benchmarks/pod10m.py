@@ -61,7 +61,8 @@ def main():
     t_part = time.perf_counter() - t0
     print(f"halo partition + window plans: {t_part:.1f} s  "
           f"No={hm.No:,} H={hm.H:,} El={hm.El:,} "
-          f"fast_path={'yes' if hm.h_plan_pos is not None else 'no'}",
+          f"fast_path={'yes' if hm.h_plan_pos is not None else 'no'} "
+          f"phys_asm={'yes' if hm.h_plan_asm2 is not None else 'no'}",
           flush=True)
 
     mesh = make_mesh(n_dev)
