@@ -256,10 +256,13 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
         h_asm_mask_j = jnp.asarray(np.stack(asm_mask_s))
         # physical-layout assembly plan for the HBM-spill regime (the
         # single-chip path's ~2 ms/step win at 1M elements; engaged by
-        # assemble_internal_force when El >= its min-E gate on TPU)
-        h_plan_asm2 = plan_sharded_assemble_phys(
-            [elem_w[d] for d in range(S)],
-            [len(ids) for ids in shard_elems], El, W)
+        # assemble_internal_force when El >= its min-E gate on TPU — skip
+        # the (numpy-heavy) build below that size)
+        from ..ops.element import _PHYS_ASM_MIN_E
+        if El >= _PHYS_ASM_MIN_E:
+            h_plan_asm2 = plan_sharded_assemble_phys(
+                [elem_w[d] for d in range(S)],
+                [len(ids) for ids in shard_elems], El, W)
         # centered element-node coordinates for the disp_e-carry fast path
         ce = np.zeros((S, 3, 8, El))
         for d, ids in enumerate(shard_elems):

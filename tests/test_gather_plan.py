@@ -167,13 +167,20 @@ def test_sharded_phys_asm_plan_matches_direct():
     from hakai_tpu.parallel.halo import partition
     from hakai_tpu.pre.synthetic import bar_model
 
+    from hakai_tpu.ops.gather_pallas import plan_sharded_assemble_phys
+
     m = bar_model(nx=16, ny=16, nz=128, d_time=1e-8, end_time=1.0)  # 32k
     lm = lower(m, SolverConfig(dtype="float32", node_pad=128 * 8,
                                elem_pad=128, renumber="always"))
     hm = partition(lm, 8)
-    plan = hm.h_plan_asm2
-    assert plan is not None, "bar partition must produce a sharded phys plan"
     W = hm.No + 2 * hm.H
+    ew_np = np.asarray(hm.elem_w)
+    al_np = np.asarray(hm.elem_alive0)
+    # partition skips the build below the engagement gate; build directly
+    plan = plan_sharded_assemble_phys(
+        [ew_np[d] for d in range(8)],
+        [int(al_np[d].sum()) for d in range(8)], hm.El, W)
+    assert plan is not None, "bar windows must produce a sharded phys plan"
     assert plan.N == W
     ew = np.asarray(hm.elem_w)
     al = np.asarray(hm.elem_alive0)

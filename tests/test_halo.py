@@ -241,5 +241,15 @@ def test_pod_scale_partition_stays_on_fast_path():
     hm = partition(lm, 8)
     assert hm.h_plan_pos is not None, "element-gather window plan fell back"
     assert hm.h_plan_asm is not None, "assembly lane plan fell back"
-    assert hm.h_plan_asm2 is not None, "phys-layout assembly plan fell back"
     assert hm.El % 1024 == 0             # packed-kernel tile divisibility
+    # 2M/8 shards is below the phys-asm engagement gate (El >= 400k), so
+    # partition skips that build; build it directly to guard the forcing
+    # logic at a window that previously fell back
+    from hakai_tpu.ops.gather_pallas import plan_sharded_assemble_phys
+    ew = np.asarray(hm.elem_w)
+    al = np.asarray(hm.elem_alive0)
+    W = hm.No + 2 * hm.H
+    p2 = plan_sharded_assemble_phys(
+        [ew[d] for d in range(8)],
+        [int(al[d].sum()) for d in range(8)], hm.El, W)
+    assert p2 is not None, "phys-layout assembly plan fell back at 2M"
