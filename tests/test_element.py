@@ -321,3 +321,27 @@ def test_packed_fast_chunk_fracture_matches_xla(monkeypatch):
     # points off by <=0.007 on a +-3.8 range after 120 steps)
     np.testing.assert_allclose(np.asarray(got.triax), np.asarray(ref.triax),
                                rtol=3e-4, atol=2e-2)
+
+
+def test_packed_fast_chunk_mixed_precision_matches_xla(monkeypatch):
+    """Mixed mode (f64 nodal carry + f32 element math) through the packed
+    MXU kernel: kinematic differences happen in f64 BEFORE the f32 cast
+    (out-of-kernel), so the packed path must track the fused-XLA mixed path
+    to f32 roundoff."""
+    monkeypatch.setenv("HAKAI_PALLAS_FORCE", "1")
+    from hakai_tpu.pre.synthetic import bar_model
+    from hakai_tpu.core.state import init_state
+    from hakai_tpu.solver.explicit import run_chunk
+
+    def deck():
+        return bar_model(nx=4, ny=4, nz=64, d_time=1e-8, end_time=1.0)
+
+    lm_x = lower(deck(), SolverConfig(dtype="mixed", elem_pad=1024))
+    ref = run_chunk(lm_x, init_state(lm_x), 60)
+    lm_p = lower(deck(), SolverConfig(dtype="mixed", elem_pad=1024,
+                                      element_kernel="pallas_mxu"))
+    got = run_chunk(lm_p, init_state(lm_p), 60)
+    np.testing.assert_allclose(np.asarray(got.disp), np.asarray(ref.disp),
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.stress),
+                               np.asarray(ref.stress), rtol=3e-5, atol=3e-4)
