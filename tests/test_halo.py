@@ -253,3 +253,29 @@ def test_pod_scale_partition_stays_on_fast_path():
         [ew[d] for d in range(8)],
         [int(al[d].sum()) for d in range(8)], hm.El, W)
     assert p2 is not None, "phys-layout assembly plan fell back at 2M"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_halo_packed_resume_roundtrip(monkeypatch):
+    """Exact resume holds on the packed halo path: 40+20 steps through a
+    gather/partition round trip equal 60 straight steps bitwise (the packed
+    state is (un)packed at chunk boundaries with exact reshapes)."""
+    monkeypatch.setenv("HAKAI_PALLAS_FORCE", "1")
+    from hakai_tpu.parallel.halo import partition_state
+    from hakai_tpu.pre.synthetic import bar_model
+    m = bar_model(nx=8, ny=8, nz=128, d_time=1e-8, end_time=1.0)
+    lm = lower(m, SolverConfig(dtype="float32", node_pad=64,
+                               renumber="always",
+                               element_kernel="pallas_mxu", elem_pad=1024))
+    hm = partition(lm, 8)
+    assert hm.h_plan_pos is not None and hm.El % 1024 == 0
+    mesh = make_mesh(8)
+    s40 = make_halo_step(hm, mesh, n_steps=40)(init_halo_state(hm))
+    resumed = partition_state(hm, gather_state(hm, s40))
+    out_a = make_halo_step(hm, mesh, n_steps=20)(resumed)
+    out_b = make_halo_step(hm, mesh, n_steps=60)(init_halo_state(hm))
+    np.testing.assert_array_equal(np.asarray(out_a.disp),
+                                  np.asarray(out_b.disp))
+    np.testing.assert_array_equal(np.asarray(out_a.stress),
+                                  np.asarray(out_b.stress))
+    assert int(out_a.t) == int(out_b.t) == 60
