@@ -279,3 +279,42 @@ def test_halo_packed_resume_roundtrip(monkeypatch):
     np.testing.assert_array_equal(np.asarray(out_a.stress),
                                   np.asarray(out_b.stress))
     assert int(out_a.t) == int(out_b.t) == 60
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_run_halo_packed_vtk(tmp_path, monkeypatch):
+    """run(halo=8) with element_kernel=pallas_mxu is a product path: frames
+    match a single-device run with the same kernel to output precision."""
+    import re
+
+    from hakai_tpu.pre.synthetic import bar_model
+    from hakai_tpu.solver.explicit import run
+    monkeypatch.setenv("HAKAI_PALLAS_FORCE", "1")
+
+    def deck():
+        return bar_model(nx=8, ny=8, nz=128, d_time=1e-8, end_time=4e-6)
+
+    out1 = tmp_path / "single"
+    outh = tmp_path / "halo"
+    cfg = dict(dtype="float32", node_pad=64, renumber="always",
+               element_kernel="pallas_mxu", elem_pad=1024, output_num=2)
+    run(lower(deck(), SolverConfig(out_dir=str(out1), **cfg)), verbose=False)
+    run(lower(deck(), SolverConfig(out_dir=str(outh), **cfg)),
+        verbose=False, halo=8)
+    frames1 = sorted(p.name for p in out1.glob("*.vtk"))
+    framesh = sorted(p.name for p in outh.glob("*.vtk"))
+    assert frames1 == framesh and len(frames1) >= 2
+    float_re = re.compile(r"-?\d+\.\d+e[+-]\d+")
+    for name in frames1:
+        t1 = (out1 / name).read_text()
+        th = (outh / name).read_text()
+        scale = max(abs(float(x)) for x in float_re.findall(t1))
+        for a, b in zip(t1.splitlines(), th.splitlines()):
+            if a == b:
+                continue
+            fa, fb = float_re.findall(a), float_re.findall(b)
+            assert fa and len(fa) == len(fb), (name, a, b)
+            np.testing.assert_allclose(
+                np.array([float(x) for x in fa]),
+                np.array([float(x) for x in fb]),
+                rtol=2e-5, atol=2e-5 * scale, err_msg=f"{name}: {a} vs {b}")
