@@ -77,5 +77,26 @@ def main():
     }))
 
 
+def _backend_reachable(timeout_s: int = 180) -> bool:
+    """Probe backend init in a subprocess: the axon TPU tunnel can go down
+    in a way that makes ``jax.devices()`` hang *forever* inside
+    make_c_api_client (observed 2026-08-18, >6 h outage).  Failing fast with
+    a diagnostic beats hanging the benchmark driver."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    import sys
+    if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _backend_reachable():
+        print("bench.py: backend unreachable (TPU tunnel down?) — "
+              "aborting instead of hanging", file=sys.stderr)
+        sys.exit(3)
     main()
