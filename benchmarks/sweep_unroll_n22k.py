@@ -27,3 +27,19 @@ for U in (1, 2, 4, 8):
     float(jnp.sum(state.disp))
     t1 = time.perf_counter()
     print(f"U={U}: {(t1-t0)/2000*1e6:.0f} us/step", flush=True)
+
+# MXU packed kernel on the launch-bound contact deck: one element kernel
+# replaces ~10 element-math fusions (fewer launches), independent of unroll
+for U in (1, 4):
+    cfg = SolverConfig(dtype="mixed", chunk_unroll=U, elem_pad=1024,
+                       element_kernel="pallas_mxu")
+    model = lower(m_raw, cfg)
+    state = run_chunk(model, init_state(model), 2000)
+    float(jnp.sum(state.disp))
+    state = run_chunk(model, state, 2000)
+    float(jnp.sum(state.disp))
+    t0 = time.perf_counter()
+    state = run_chunk(model, state, 2000)
+    float(jnp.sum(state.disp))
+    t1 = time.perf_counter()
+    print(f"mxu U={U}: {(t1-t0)/2000*1e6:.0f} us/step", flush=True)
