@@ -44,3 +44,6 @@ for KIB in 49152 98304; do
 done
 
 echo "=== queue done ==="
+
+echo "=== 9) contact decks re-validation (crash-tube + N2k) ==="
+timeout 2400 python benchmarks/contact_decks_bench.py || echo "(failed)"
