@@ -95,3 +95,21 @@ def write_vtk(index: int, out_dir: str, coord: np.ndarray, elem: np.ndarray,
     with open(fname, "w") as f:
         f.write("".join(parts))
     return fname
+
+
+def write_pvd(out_dir: str, frame_times) -> str:
+    """Write a ParaView collection (.pvd) indexing the legacy-VTK frames
+    with their physical times, so the run loads as a time series directly
+    (the reference leaves users to open the numbered file###.vtk frames by
+    hand).  ``frame_times`` is the ordered list of (frame_index, time)."""
+    os.makedirs(out_dir, exist_ok=True)
+    fname = os.path.join(out_dir, "collection.pvd")
+    rows = "\n".join(
+        f'    <DataSet timestep="{t:.9e}" group="" part="0" '
+        f'file="file{i:03d}.vtk"/>' for i, t in frame_times)
+    with open(fname, "w") as f:
+        f.write('<?xml version="1.0"?>\n'
+                '<VTKFile type="Collection" version="0.1" '
+                'byte_order="LittleEndian">\n  <Collection>\n'
+                + rows + "\n  </Collection>\n</VTKFile>\n")
+    return fname

@@ -398,12 +398,14 @@ def run(model: LoweredModel, state: SimState | None = None,
         def view(s):
             return s
 
+    frame_times = []
     if write_output:
         sv = view(state)
         nd = node_fields(model, sv.stress, sv.strain, sv.eq_ps, sv.triax)
         co, el, fl, di, ve, nd_o = _deck_order_frame(model, sv, nd)
         write_vtk(0, cfg.out_dir, co, el, fl, di, ve, nd_o,
                   model.n_node, model.n_element)
+        frame_times.append((0, float(int(state.t)) * model.dt))
 
     t0 = _time.time()
     alive_prev = int(np.asarray(state.element_flag).sum())
@@ -436,6 +438,7 @@ def run(model: LoweredModel, state: SimState | None = None,
             co, el, fl, di, ve, nd_o = _deck_order_frame(model, sv, nd)
             write_vtk(i_out, cfg.out_dir, co, el, fl, di, ve, nd_o,
                       model.n_node, model.n_element)
+            frame_times.append((i_out, done * model.dt))
             if cfg.checkpoint_every and i_out % cfg.checkpoint_every == 0:
                 from ..utils.checkpoint import save_checkpoint
                 save_checkpoint(cfg.checkpoint_path
@@ -443,6 +446,9 @@ def run(model: LoweredModel, state: SimState | None = None,
                                 sv)
             i_out += 1
     metrics.close()
+    if write_output and frame_times:
+        from ..io.vtk import write_pvd
+        write_pvd(cfg.out_dir, frame_times)   # ParaView time-series index
     if verbose:
         print(f"\nwall: {_time.time() - t0:.2f}s for {time_num} steps")
     return view(state)

@@ -54,3 +54,21 @@ def test_vtk_deleted_elements_omitted(tmp_path):
     assert fname.endswith("file007.vtk")
     assert "CELLS 4 36" in txt
     assert "CELL_TYPES 4" in txt
+
+
+def test_pvd_collection(tmp_path):
+    """run() writes a ParaView collection.pvd indexing frames with their
+    physical times."""
+    from hakai_tpu.config import SolverConfig
+    from hakai_tpu.core.lowering import lower
+    from hakai_tpu.pre.synthetic import bar_model
+    from hakai_tpu.solver.explicit import run
+
+    m = bar_model(nx=2, ny=2, nz=4, d_time=1e-7, end_time=2e-5)  # 200 steps
+    lm = lower(m, SolverConfig(out_dir=str(tmp_path), output_num=4))
+    run(lm, verbose=False)
+    pvd = (tmp_path / "collection.pvd").read_text()
+    assert pvd.count("<DataSet") == 5          # frame 0 + 4 outputs
+    assert 'file="file000.vtk"' in pvd
+    assert 'file="file004.vtk"' in pvd
+    assert f'timestep="{2e-5:.9e}"' in pvd     # last frame at end time
