@@ -318,3 +318,32 @@ def test_run_halo_packed_vtk(tmp_path, monkeypatch):
                 np.array([float(x) for x in fa]),
                 np.array([float(x) for x in fb]),
                 rtol=2e-5, atol=2e-5 * scale, err_msg=f"{name}: {a} vs {b}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_halo_packed_fracture_matches_single_device(monkeypatch):
+    """Erosion inside the packed halo loop (in-kernel triax + per-step flag
+    updates + deferred zeroing across shards) matches the same packed kernel
+    on a single device, with real deletions."""
+    monkeypatch.setenv("HAKAI_PALLAS_FORCE", "1")
+    from hakai_tpu.pre.synthetic import bar_model
+    m = bar_model(nx=8, ny=8, nz=128, d_time=5e-8, end_time=1.0,
+                  ductile=True)
+    m.materials[0].ductile = np.array([[1e-3, 0.0, 30.0], [5e-4, 0.3, 30.0]])
+    dofs = np.arange(1, m.n_node * 3 + 1, 3) + 2
+    m.ics.append(IC(type="VELOCITY", dof=[dofs], value=[5.0e4]))
+    cfg = SolverConfig(dtype="float32", node_pad=64, renumber="always",
+                       element_kernel="pallas_mxu", elem_pad=1024)
+    lm = lower(m, cfg)
+    assert lm.fracture_enabled
+    ref = run_chunk(lm, init_state(lm), 120)
+    assert int(np.asarray(ref.element_flag).sum()) < int(
+        np.asarray(lm.elem_exists).sum())     # erosion fired
+    hm = partition(lm, 8)
+    assert hm.h_plan_pos is not None and hm.El % 1024 == 0
+    got = gather_state(hm, make_halo_step(hm, make_mesh(8), n_steps=120)(
+        init_halo_state(hm)))
+    assert np.array_equal(np.asarray(got.element_flag),
+                          np.asarray(ref.element_flag))
+    np.testing.assert_allclose(np.asarray(got.disp), np.asarray(ref.disp),
+                               rtol=3e-5, atol=5e-6)
