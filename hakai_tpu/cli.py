@@ -61,6 +61,13 @@ def main(argv=None):
                          "this many devices (pod-scale path: halo rows "
                          "plus the compact contact-node block ride the "
                          "interconnect)")
+    ap.add_argument("--multihost", default=None, metavar="SPEC",
+                    help="initialize jax.distributed for a multi-host run "
+                         "(every host runs the same command; --halo spans "
+                         "the GLOBAL device count).  'auto' on TPU pods "
+                         "(coordinator discovered from the TPU metadata); "
+                         "'ADDR:PORT,NPROC,PID' elsewhere.  Frames/metrics"
+                         "/checkpoints are written by process 0 only")
     ap.add_argument("--element-kernel", default="auto",
                     choices=["auto", "xla", "pallas", "pallas_mxu"],
                     help="element-math backend: auto/xla = fused XLA "
@@ -69,6 +76,17 @@ def main(argv=None):
                          "(pallas_mxu rides the constant contractions on "
                          "the MXU; f32/mixed decks only)")
     args = ap.parse_args(argv)
+
+    if args.multihost:
+        # must run before anything initializes a backend
+        import jax
+        if args.multihost == "auto":
+            jax.distributed.initialize()
+        else:
+            addr, nproc, pid = args.multihost.rsplit(",", 2)
+            jax.distributed.initialize(coordinator_address=addr,
+                                       num_processes=int(nproc),
+                                       process_id=int(pid))
 
     elem_pad = args.elem_pad
     if args.element_kernel in ("pallas", "pallas_mxu"):
@@ -142,7 +160,9 @@ def main(argv=None):
     state = run(model, state, write_output=not args.no_output,
                 devices=args.devices, halo=args.halo)
     if args.checkpoint_every:
-        save_checkpoint(f"{args.out_dir}/final.ckpt.npz", state)
+        import jax
+        if jax.process_index() == 0:
+            save_checkpoint(f"{args.out_dir}/final.ckpt.npz", state)
     return state
 
 

@@ -591,6 +591,28 @@ def _halo_step(hm: HaloModel, s: HaloState, flag_g=None) -> HaloState:
                      yield_s=res.yield_s, triax=triax, element_flag=flag)
 
 
+def _to_global(tree, spec_tree, mesh: Mesh):
+    """Place a host-replicated pytree onto a (possibly multi-process) mesh
+    as global ``jax.Array``s per the given PartitionSpec tree.
+
+    Under one process ``jit`` shards host arrays itself, so this is only
+    engaged when ``jax.process_count() > 1`` — there every input must be a
+    global array built from the locally-addressable shards (every process
+    holds the full host value; ``partition()`` is deterministic NumPy, so
+    all processes compute identical trees).  Leaves already global (e.g.
+    the state returned by a previous chunk) pass through."""
+    def conv(x, sp):
+        if not hasattr(x, "shape") or not hasattr(x, "dtype"):
+            return x
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x                     # already a global array
+        sh = jax.sharding.NamedSharding(mesh, sp)
+        xh = np.asarray(x)
+        return jax.make_array_from_callback(xh.shape, sh,
+                                            lambda idx: xh[idx])
+    return jax.tree_util.tree_map(conv, tree, spec_tree)
+
+
 def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
     S = hm.n_shards
     if mesh.devices.size != S:
@@ -721,6 +743,12 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
     fn = jax.shard_map(body, mesh=mesh, in_specs=(mspec, sspec),
                        out_specs=sspec, check_vma=False)
     jitted = jax.jit(fn)
+    if jax.process_count() > 1:
+        # multi-host (jax.distributed) mesh: inputs must be global arrays;
+        # the halo ring's ppermute and the contact all_gather then ride
+        # ICI within a slice and DCN across hosts with no code change
+        hm_g = _to_global(hm, mspec, mesh)
+        return lambda st: jitted(hm_g, _to_global(st, sspec, mesh))
     return lambda st: jitted(hm, st)
 
 
@@ -728,7 +756,22 @@ def gather_state(hm: HaloModel, s: HaloState) -> SimState:
     """Host-side reassembly into a single-chip SimState view: node fields
     are concatenated shard-major; element fields scatter back to global
     element order through the shard->global permutation kept at
-    partition time (elem_gid), so halo runs can emit full VTK frames."""
+    partition time (elem_gid), so halo runs can emit full VTK frames.
+
+    Multi-process (jax.distributed) runs hold only their local shards, so
+    sharded leaves are first resharded to fully-replicated (a collective —
+    EVERY process must call gather_state, as run() does) before the host
+    reassembly; writers gate the file IO on process 0."""
+    if isinstance(s.disp, jax.Array) and not s.disp.is_fully_addressable:
+        mesh = s.disp.sharding.mesh
+        repl = jax.jit(lambda x: x,
+                       out_shardings=jax.sharding.NamedSharding(mesh, P()))
+
+        def full(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return np.asarray(repl(x))
+            return x
+        s = jax.tree_util.tree_map(full, s)
     def join_nodes(a):   # (S, ..., No) -> (..., N)
         a = np.asarray(a)
         return np.moveaxis(a, 0, -2).reshape(a.shape[1:-1] + (-1,))

@@ -351,6 +351,11 @@ def run(model: LoweredModel, state: SimState | None = None,
 
     cfg = model.config
     state = state if state is not None else init_state(model)
+    # multi-host (jax.distributed): every process runs the same loop and
+    # participates in every collective (step chunks, gather_state views);
+    # only process 0 touches the filesystem or the console
+    proc0 = jax.process_index() == 0
+    verbose = verbose and proc0
 
     view = None                 # sharded-state -> SimState for host output
     if halo is not None and halo > 1:
@@ -392,7 +397,7 @@ def run(model: LoweredModel, state: SimState | None = None,
     output_num = cfg.output_num
     d_out = max(time_num // output_num, 1)
     n_frames = time_num // d_out if time_num else 0
-    metrics = MetricsWriter(cfg.metrics_path)
+    metrics = MetricsWriter(cfg.metrics_path if proc0 else None)
 
     if view is None:
         def view(s):
@@ -403,12 +408,15 @@ def run(model: LoweredModel, state: SimState | None = None,
         sv = view(state)
         nd = node_fields(model, sv.stress, sv.strain, sv.eq_ps, sv.triax)
         co, el, fl, di, ve, nd_o = _deck_order_frame(model, sv, nd)
-        write_vtk(0, cfg.out_dir, co, el, fl, di, ve, nd_o,
-                  model.n_node, model.n_element)
+        if proc0:
+            write_vtk(0, cfg.out_dir, co, el, fl, di, ve, nd_o,
+                      model.n_node, model.n_element)
         frame_times.append((0, float(int(state.t)) * model.dt))
 
     t0 = _time.time()
-    alive_prev = int(np.asarray(state.element_flag).sum())
+    # jnp (not np.asarray) so multi-process global arrays reduce
+    # on-device to a replicated scalar instead of failing host copy
+    alive_prev = int(jnp.sum(state.element_flag))
     done = int(state.t)          # resume-aware (checkpoint carries t)
     i_out = done // d_out + 1
     while done < time_num:
@@ -417,7 +425,7 @@ def run(model: LoweredModel, state: SimState | None = None,
         done += n
         if cfg.check_nan and not bool(jnp.isfinite(state.disp).all()):
             raise FloatingPointError(f"NaN/Inf in displacement at step {done}")
-        alive = int(np.asarray(state.element_flag).sum())
+        alive = int(jnp.sum(state.element_flag))
         if verbose and alive != alive_prev:
             print(f"Element deleted:{alive}/{model.n_element}")
             alive_prev = alive
@@ -436,17 +444,19 @@ def run(model: LoweredModel, state: SimState | None = None,
             sv = view(state)
             nd = node_fields(model, sv.stress, sv.strain, sv.eq_ps, sv.triax)
             co, el, fl, di, ve, nd_o = _deck_order_frame(model, sv, nd)
-            write_vtk(i_out, cfg.out_dir, co, el, fl, di, ve, nd_o,
-                      model.n_node, model.n_element)
+            if proc0:
+                write_vtk(i_out, cfg.out_dir, co, el, fl, di, ve, nd_o,
+                          model.n_node, model.n_element)
             frame_times.append((i_out, done * model.dt))
-            if cfg.checkpoint_every and i_out % cfg.checkpoint_every == 0:
+            if (proc0 and cfg.checkpoint_every
+                    and i_out % cfg.checkpoint_every == 0):
                 from ..utils.checkpoint import save_checkpoint
                 save_checkpoint(cfg.checkpoint_path
                                 or f"{cfg.out_dir}/ckpt_{i_out:03d}.npz",
                                 sv)
             i_out += 1
     metrics.close()
-    if write_output and frame_times:
+    if write_output and frame_times and proc0:
         from ..io.vtk import write_pvd
         write_pvd(cfg.out_dir, frame_times)   # ParaView time-series index
     if verbose:
