@@ -61,6 +61,10 @@ def main(argv=None):
                          "this many devices (pod-scale path: halo rows "
                          "plus the compact contact-node block ride the "
                          "interconnect)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the whole run "
+                         "into this directory (open with TensorBoard / "
+                         "xprof)")
     ap.add_argument("--multihost", default=None, metavar="SPEC",
                     help="initialize jax.distributed for a multi-host run "
                          "(every host runs the same command; --halo spans "
@@ -157,8 +161,10 @@ def main(argv=None):
         if n_vis < want:
             raise SystemExit(f"{want} devices requested but only "
                              f"{n_vis} visible")
-    state = run(model, state, write_output=not args.no_output,
-                devices=args.devices, halo=args.halo)
+    from .utils.profiling import trace
+    with trace(args.profile):
+        state = run(model, state, write_output=not args.no_output,
+                    devices=args.devices, halo=args.halo)
     if args.checkpoint_every:
         import jax
         if jax.process_index() == 0:
