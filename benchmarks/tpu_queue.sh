@@ -35,13 +35,9 @@ for TE in 2048 4096; do
     timeout 2400 python bench.py || echo "(failed — recorded)"
 done
 
-echo "=== 8) 1M fusion-control flag probe (scoped VMEM budget) ==="
-for KIB in 49152 98304; do
-  echo "--- scoped_vmem_limit_kib=$KIB"
-  XLA_FLAGS="--xla_tpu_scoped_vmem_limit_kib=$KIB" \
-    BENCH_NX=64 BENCH_NY=64 BENCH_NZ=256 BENCH_N1=20 BENCH_N2=120 \
-    timeout 2400 python bench.py || echo "(failed/oom — recorded)"
-done
+echo "=== 8) 1M scoped-VMEM budget probe (compiler_options; XLA_FLAGS"
+echo "       FATALs locally on unknown TPU flags under the tunnel) ==="
+timeout 3600 python benchmarks/scoped_vmem_probe.py || echo "(failed — recorded)"
 
 echo "=== queue done ==="
 

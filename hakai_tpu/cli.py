@@ -52,10 +52,11 @@ def main(argv=None):
                          "digit)")
     ap.add_argument("--chunk-unroll", type=int, default=0,
                     help="unroll factor for the chunk step loop on small "
-                         "(launch-bound, <=32k-element) decks; 0 (default) "
-                         "picks a frame-aligned factor automatically, "
-                         "preserving bitwise-exact checkpoint resume; "
-                         "explicit values are applied unguarded")
+                         "(<=32k-element) decks; 0 (default) = no unroll "
+                         "(measured a net loss on TPU; see docs/PERF.md); "
+                         "explicit values are applied unguarded and can "
+                         "trade bitwise-exact checkpoint resume for "
+                         "throughput")
     ap.add_argument("--halo", type=int, default=None,
                     help="node-sharded halo-exchange decomposition over "
                          "this many devices (pod-scale path: halo rows "
@@ -74,11 +75,13 @@ def main(argv=None):
                          "/checkpoints are written by process 0 only")
     ap.add_argument("--element-kernel", default="auto",
                     choices=["auto", "xla", "pallas", "pallas_mxu"],
-                    help="element-math backend: auto/xla = fused XLA "
-                         "(fastest in the VMEM-resident regime), "
-                         "pallas/pallas_mxu = fused Pallas packed kernel "
-                         "(pallas_mxu rides the constant contractions on "
-                         "the MXU; f32/mixed decks only)")
+                    help="element-math backend: auto (default) = the "
+                         "MXU-assisted packed Pallas kernel when eligible "
+                         "(TPU, f32/mixed, tile-divisible E — wins both "
+                         "the VMEM-resident and HBM-spill regimes), else "
+                         "fused XLA; xla = force fused XLA; pallas_mxu = "
+                         "require the MXU kernel; pallas = the VPU-only "
+                         "packed kernel (loses to XLA; comparison only)")
     args = ap.parse_args(argv)
 
     if args.multihost:

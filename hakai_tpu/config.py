@@ -52,29 +52,32 @@ class SolverConfig:
     #                              widths fit ("always": unconditional —
     #                              the halo path needs bounded bandwidth
     #                              even when plans fit)
-    element_kernel: str = "auto"  # "auto"/"xla": fused XLA path (fastest
-    #                              measured); "pallas": opt-in fused Pallas
-    #                              kernel (packed-buffer variant; ~2.8x
-    #                              slower — Mosaic serializes the unrolled
-    #                              elementwise graph; see docs/PERF.md)
+    element_kernel: str = "auto"  # "auto": MXU-assisted packed Pallas
+    #                              kernel when eligible (TPU backend, f32
+    #                              element math, E % 1024 == 0 — wins both
+    #                              regimes: 131k 1.67e8 vs 1.56e8, 1M
+    #                              1.285e8 vs 6.98e7 elem-steps/s), else
+    #                              the fused XLA path.  "xla": force the
+    #                              fused XLA path.  "pallas_mxu": require
+    #                              the MXU kernel.  "pallas": the earlier
+    #                              VPU-only packed kernel (loses to XLA;
+    #                              kept for comparison; see docs/PERF.md)
     elem_slab: int = 0           # element-math slab size (fori_loop slabs of
     #                              the element-local math); 0 off (measured
     #                              slower at 1M: the slab loop's DUS carries
     #                              cost more than the HBM spill it avoids),
     #                              >0 explicit (multiple of 128)
-    chunk_unroll: int = 0        # unroll factor for the chunk step loop on
-    #                              small (launch-bound) decks.  0 (default)
-    #                              = auto: the largest of 4/2/1 dividing
-    #                              d_out, applied only to chunks that are
-    #                              themselves multiples of it — unroll
-    #                              groups then align to absolute step
-    #                              indices for every frame-aligned chunking
-    #                              (checkpoints are only written at frame
-    #                              boundaries), preserving bitwise-exact
-    #                              resume.  Explicit values are applied
-    #                              as-is (no alignment guard): a factor
-    #                              that does not divide d_out trades exact
-    #                              resume for throughput.
+    chunk_unroll: int = 0        # unroll factor for the chunk step loop.
+    #                              0 (default) = no unroll: the TPU sweep
+    #                              (benchmarks/sweep_unroll_n22k.py) shows
+    #                              cross-step fusion is a net LOSS even on
+    #                              the launch-bound deck it was built for
+    #                              (U=1 1255 us/step vs U=4 2195).
+    #                              Explicit values are applied as-is: a
+    #                              factor that does not divide d_out trades
+    #                              bitwise-exact resume for throughput
+    #                              (XLA fuses a chunk's tail steps
+    #                              differently from its body).
     metrics_path: str | None = None  # JSONL per-chunk diagnostics stream
     checkpoint_every: int = 0    # save resumable checkpoint every N frames
     checkpoint_path: str | None = None

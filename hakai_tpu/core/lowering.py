@@ -31,6 +31,11 @@ from ..ops.gather_pallas import (AsmPhysPlan, GatherPlan, plan_assemble,
                                  plan_segmented)
 from ..ops.shape import pusai_hexa
 
+# Pallas gather-plan tile: plans engage for meshes with at least one full
+# tile on both axes (elements AND nodes); do not lower below 2048 — small
+# r_tile wedges the TPU compile service (see .claude/skills/verify).
+_PLAN_TILE = 2048
+
 # face -> local node slots, with the reference's node orders
 # (get_element_face, HAKAI_j.jl:1959-1964)
 _FACE_SLOTS = np.array([
@@ -597,6 +602,22 @@ def lower(model: Model, config: SolverConfig | None = None) -> LoweredModel:
             _lower_impl(m2, cfg),
             node_new2old=jnp.asarray(node_new2old, jnp.int32),
             elem_new2old=jnp.asarray(elem_new2old, jnp.int32))
+    if (cfg.renumber == "auto" and model.n_element >= _PLAN_TILE
+            and model.n_node >= _PLAN_TILE and cfg.gather_mode != "xla"):
+        # Gather plans will engage: renumber up-front.  renumber_model is
+        # span-optimal by construction (it keeps the deck order when that
+        # already has the smallest worst element-node span), and a smaller
+        # span means tighter Pallas gather windows — measured +2.2% at 131k
+        # and +1.8% at 1M on a v5e chip (docs/PERF.md round-3).
+        from .renumber import renumber_model
+        m2, node_new2old, elem_new2old = renumber_model(model)
+        lm2 = _lower_impl(m2, cfg)
+        if lm2.plan_pos is None or (lm2.plan_pos.ok and lm2.plan_asm.ok):
+            return dataclasses.replace(
+                lm2,
+                node_new2old=jnp.asarray(node_new2old, jnp.int32),
+                elem_new2old=jnp.asarray(elem_new2old, jnp.int32))
+        # safety net: fall through to the deck ordering
     lm = _lower_impl(model, cfg)
     plans_bad = (cfg.gather_mode != "xla" and lm.plan_pos is not None
                  and not (lm.plan_pos.ok and lm.plan_asm.ok))
@@ -628,7 +649,7 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
     node_pad, elem_pad = cfg.node_pad, cfg.elem_pad
     # Pallas gather plans only pay off for meshes with >= a few tiles;
     # tiny meshes keep XLA gathers (and tight padding for cheap CPU tests)
-    tile = 2048
+    tile = _PLAN_TILE
     use_plans = cfg.gather_mode != "xla" and nE >= tile and nN >= tile
     if use_plans:
         # gather-plan tiles must not straddle slot/lane segment boundaries:

@@ -127,15 +127,18 @@ def element_update(model: LoweredModel,
 
 
 def pallas_core_ok(model: LoweredModel, E: int, dt) -> bool:
-    """Eligibility for the *opt-in* fused Pallas element kernel: f32 math
-    (TPU custom calls cannot take f64), tile-divisible element count,
-    TPU backend.  Robust long-loop timing (docs/PERF.md round-2 negative
-    results) puts the kernel at 1.7 ms/step vs fused XLA's 0.6 ms at 131k
-    even with the packed single-buffer layout and a 1024 tile — Mosaic
-    serializes the unrolled elementwise graph — so it never auto-enables;
-    a short slope measurement that suggested 5x the XLA rate was a timing
-    artifact of the async dispatch path."""
-    if model.config.element_kernel not in ("pallas", "pallas_mxu"):
+    """Eligibility for the fused Pallas element kernel: f32 math (TPU
+    custom calls cannot take f64), tile-divisible element count, TPU
+    backend.  ``element_kernel="auto"`` resolves to the MXU-assisted
+    packed kernel when these hold — measured on a v5e chip it beats the
+    fused XLA path in BOTH regimes (131k: 1.67e8 vs 1.56e8 elem-steps/s;
+    1M: 1.285e8 vs 6.98e7; car-crash-N22k mixed: neutral at 1259 vs
+    1255 us/step; docs/PERF.md round-3).  The earlier non-MXU packed
+    variant ("pallas", kept as an opt-in) lost to XLA 1.7 ms vs 0.6 ms at
+    131k — Mosaic serializes the unrolled elementwise graph; moving the
+    constant contractions to the systolic array is what flipped the
+    verdict."""
+    if model.config.element_kernel not in ("auto", "pallas", "pallas_mxu"):
         return False
     import os
     backend_ok = jax.default_backend() == "tpu"

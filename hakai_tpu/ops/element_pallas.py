@@ -125,7 +125,7 @@ def element_core_packed(model: LoweredModel, pos24, du24, P, flag,
     vs 0.68 ms XLA at 131k; this layout reaches ~0.3 ms).  ``want_triax``
     is honored by the MXU variant only (callers fall back to a post-kernel
     triax when the result is a 2-tuple)."""
-    if model.config.element_kernel == "pallas_mxu":
+    if model.config.element_kernel in ("pallas_mxu", "auto"):
         return element_core_packed_mxu(model, pos24, du24, P, flag,
                                        want_triax=want_triax)
     E = P.shape[1]
@@ -403,7 +403,8 @@ def packed_element_step(model: LoweredModel, coord_e, disp_e, disp_e_prev,
     edt = model.edtype
     E = P.shape[1]
     wt = model.fracture_enabled          # in-kernel triax (MXU variant)
-    if model.config.element_kernel == "pallas_mxu" and model.dtype == edt:
+    if (model.config.element_kernel in ("pallas_mxu", "auto")
+            and model.dtype == edt):
         out = element_core_packed_mxu(
             model, coord_e.reshape(24, E), disp_e.reshape(24, E), P, flag,
             dprev24=disp_e_prev.reshape(24, E), want_triax=wt)

@@ -227,25 +227,18 @@ def unpack_gauss_state(state: SimState, P, E: int) -> SimState:
 
 @partial(jax.jit, static_argnums=(2,))
 def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
-    # Small decks are kernel-launch bound (a 10.8k-element step costs about
-    # the same wall time as 131k: ~40 kernels x ~20 us fixed cost);
-    # chunk-loop unrolling lets XLA fuse across steps and amortize
-    # launches.  Cross-step fusion makes a step's bits depend on its
-    # position inside an unroll group, so exact resume (bitwise-equal
-    # results under different chunk splits) requires the groups to align
-    # to ABSOLUTE step indices.  Checkpoints are only written at frame
-    # boundaries (multiples of d_out), so the auto default picks a factor
-    # dividing d_out and applies it only when this chunk is itself a
-    # multiple — then every group [U*k, U*(k+1)) is executed whole by the
-    # same unrolled body in every frame-aligned chunking
-    # (tests/test_resume_run.py asserts the bitwise contract).
+    # Chunk-loop unrolling lets XLA fuse across steps; cross-step fusion
+    # makes a step's bits depend on its position inside an unroll group,
+    # so explicit unroll factors trade bitwise-exact resume for (possible)
+    # throughput.  Measured on the deck it was designed for it LOSES (see
+    # below), so the default never unrolls.
     unroll = model.config.chunk_unroll
-    if unroll == 0:                                     # auto
-        d_out = max(model.time_num // model.config.output_num, 1) \
-            if model.time_num else 1
-        unroll = next((u for u in (4, 2) if d_out % u == 0), 1)
-        if n_steps % unroll:
-            unroll = 1
+    if unroll == 0:                                     # auto = off
+        # Measured on TPU (benchmarks/sweep_unroll_n22k.py, car-crash-N22k
+        # mixed): U=1 1255 us/step, U=2 3183, U=4 2195, U=8 1717 — XLA's
+        # cross-step fusion of the unrolled body is a net loss even on the
+        # launch-bound deck the unroll was built for, so auto never unrolls.
+        unroll = 1
     if model.E > 32768:
         unroll = 1
     # disp_e-carry fast path; in mixed mode the carry is f64 (differences

@@ -302,7 +302,8 @@ def test_packed_fast_chunk_fracture_matches_xla(monkeypatch):
         m.ics.append(IC(type="VELOCITY", dof=[dofs], value=[5.0e4]))
         return m
 
-    lm_x = lower(deck(), SolverConfig(dtype="float32", elem_pad=1024))
+    lm_x = lower(deck(), SolverConfig(dtype="float32", elem_pad=1024,
+                                      element_kernel="xla"))
     assert lm_x.fracture_enabled
     ref = run_chunk(lm_x, init_state(lm_x), 120)
     n_alive = int(np.asarray(ref.element_flag).sum())
@@ -336,7 +337,8 @@ def test_packed_fast_chunk_mixed_precision_matches_xla(monkeypatch):
     def deck():
         return bar_model(nx=4, ny=4, nz=64, d_time=1e-8, end_time=1.0)
 
-    lm_x = lower(deck(), SolverConfig(dtype="mixed", elem_pad=1024))
+    lm_x = lower(deck(), SolverConfig(dtype="mixed", elem_pad=1024,
+                                      element_kernel="xla"))
     ref = run_chunk(lm_x, init_state(lm_x), 60)
     lm_p = lower(deck(), SolverConfig(dtype="mixed", elem_pad=1024,
                                       element_kernel="pallas_mxu"))
@@ -345,3 +347,35 @@ def test_packed_fast_chunk_mixed_precision_matches_xla(monkeypatch):
                                rtol=1e-6, atol=1e-12)
     np.testing.assert_allclose(np.asarray(got.stress),
                                np.asarray(ref.stress), rtol=3e-5, atol=3e-4)
+
+
+def test_auto_kernel_resolves_to_mxu(monkeypatch):
+    """element_kernel="auto" engages the MXU packed kernel exactly when the
+    hardware conditions hold (TPU backend — or the test force knob — f32
+    element math, tile-divisible E), and is bitwise-identical to an
+    explicit element_kernel="pallas_mxu" run.  On a non-TPU backend
+    without the knob, auto stays on the fused XLA path."""
+    from hakai_tpu.ops.element import pallas_core_ok
+    from hakai_tpu.pre.synthetic import bar_model
+    from hakai_tpu.solver.explicit import run_chunk
+
+    def deck():
+        return bar_model(nx=4, ny=4, nz=64, d_time=1e-8, end_time=1.0)
+
+    monkeypatch.delenv("HAKAI_PALLAS_FORCE", raising=False)
+    lm = lower(deck(), SolverConfig(dtype="float32", elem_pad=1024))
+    assert not pallas_core_ok(lm, lm.E, lm.edtype)   # CPU: auto = XLA
+
+    monkeypatch.setenv("HAKAI_PALLAS_FORCE", "1")
+    assert pallas_core_ok(lm, lm.E, lm.edtype)       # "TPU": auto = MXU
+    # f64 element math never engages regardless of backend
+    lm64 = lower(deck(), SolverConfig(dtype="float64", elem_pad=1024))
+    assert not pallas_core_ok(lm64, lm64.E, lm64.edtype)
+
+    got = run_chunk(lm, init_state(lm), 40)
+    lm_m = lower(deck(), SolverConfig(dtype="float32", elem_pad=1024,
+                                      element_kernel="pallas_mxu"))
+    ref = run_chunk(lm_m, init_state(lm_m), 40)
+    np.testing.assert_array_equal(np.asarray(got.disp), np.asarray(ref.disp))
+    np.testing.assert_array_equal(np.asarray(got.stress),
+                                  np.asarray(ref.stress))
