@@ -31,6 +31,11 @@ class ContactConfig:
     # selectivity, so the defaults match the cross-pair tiles
     node_block_self: int = 2048
     tri_block_self: int = 512
+    # Fracture-free decks: cull the re-exposure (twin) inventory at lowering
+    # — element_flag can never change without a damage table, so the masks
+    # are compile-time constants (N22k: 127k -> 43k triangles).  Disable to
+    # keep the full inventory (e.g. to drive element_flag by hand).
+    static_cull: bool = True
 
 
 @dataclass(frozen=True)

@@ -164,6 +164,10 @@ class ContactPairArrays:
     fgt_n: int = dataclasses.field(metadata=dict(static=True), default=0)
     fgi_src: int = dataclasses.field(metadata=dict(static=True), default=0)
     fgt_src: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # fracture-free deck: the twin inventory was culled at lowering and the
+    # activity masks are compile-time all-true (ops/contact.py skips them)
+    static_activity: bool = dataclasses.field(metadata=dict(static=True),
+                                              default=False)
 
 
 @jax.tree_util.register_dataclass
@@ -367,8 +371,8 @@ def _cand_nodes(model: Model, inst_idx: int, elements: np.ndarray,
 def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
                  elements_i: np.ndarray, elements_j: np.ndarray,
                  face_cache: dict, dtype, kw_n_pad: int,
-                 kw_elem_np: np.ndarray, kw_diag_M_np: np.ndarray
-                 ) -> ContactPairArrays:
+                 kw_elem_np: np.ndarray, kw_diag_M_np: np.ndarray,
+                 static_activity: bool = False) -> ContactPairArrays:
     """Lower one directional contact pair (global 0-based ids)."""
     if i_inst not in face_cache:
         face_cache[i_inst] = _instance_faces(model, i_inst)
@@ -402,30 +406,51 @@ def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
     tri_init = np.repeat(init, 2)
     tri_twin = np.repeat(g_twin, 2)
 
-    # Initially-active faces first within each 2048-wide segment: the raw
-    # inventory interleaves exposed faces with their initially-dead twins,
-    # which spreads the active set over every narrow-phase triangle block —
-    # on the crash tube all 17 blocks of the self pair survive the
-    # block-activity cull at 34% occupancy.  Dense-packed, the same cull
-    # drops the dead blocks for free (erosion-exposed twins land in each
-    # segment's tail blocks, activating only as erosion progresses).  The
-    # partition stays INSIDE 2048-aligned segments — the gather-plan tile —
-    # so every plan tile keeps the same index set and the diagonal window
-    # plans survive (a global partition broke plan_tpos/tvel/fgt on the
-    # 127k-triangle car inventory: 19x slowdown on the XLA fallbacks).
-    # Twin links are element ids, so no index remap is needed; every plan
-    # below is built post-permute.
-    _n = tri_init.shape[0]
-    perm = np.lexsort((np.arange(_n), ~tri_init, np.arange(_n) // 2048))
-    tri_nodes = tri_nodes[:, perm]
-    tri_elem = tri_elem[perm]
-    tri_init = tri_init[perm]
-    tri_twin = tri_twin[perm]
+    if static_activity:
+        # Fracture-free deck: element_flag can never change (erosion is the
+        # only writer, HAKAI_j.jl:684-764, and it needs a *Damage Initiation
+        # or *Tensile Failure table), so the re-exposure inventory — interior
+        # twin faces that only become surface when their twin element dies —
+        # is dead weight.  Cull everything not initially active: on the
+        # car-crash decks this shrinks the narrow-phase/epilogue triangle
+        # count ~3x and every downstream plan with it.
+        keep = tri_init
+        tri_nodes = tri_nodes[:, keep]
+        tri_elem = tri_elem[keep]
+        tri_twin = np.full(tri_elem.shape[0], -1, tri_twin.dtype)
+        tri_init = np.ones(tri_elem.shape[0], bool)
+    else:
+        # Initially-active faces first within each 2048-wide segment: the raw
+        # inventory interleaves exposed faces with their initially-dead twins,
+        # which spreads the active set over every narrow-phase triangle block —
+        # on the crash tube all 17 blocks of the self pair survive the
+        # block-activity cull at 34% occupancy.  Dense-packed, the same cull
+        # drops the dead blocks for free (erosion-exposed twins land in each
+        # segment's tail blocks, activating only as erosion progresses).  The
+        # partition stays INSIDE 2048-aligned segments — the gather-plan tile —
+        # so every plan tile keeps the same index set and the diagonal window
+        # plans survive (a global partition broke plan_tpos/tvel/fgt on the
+        # 127k-triangle car inventory: 19x slowdown on the XLA fallbacks).
+        # Twin links are element ids, so no index remap is needed; every plan
+        # below is built post-permute.
+        _n = tri_init.shape[0]
+        perm = np.lexsort((np.arange(_n), ~tri_init, np.arange(_n) // 2048))
+        tri_nodes = tri_nodes[:, perm]
+        tri_elem = tri_elem[perm]
+        tri_init = tri_init[perm]
+        tri_twin = tri_twin[perm]
 
     cand, cand_init, cand_twin = _cand_nodes(model, i_inst, elements_i,
                                              face_cache)
     jc, jc_init, jc_twin = _cand_nodes(model, j_inst, elements_j, face_cache,
                                        reexposure=(i_inst != j_inst))
+    if static_activity:
+        cand = cand[cand_init]
+        cand_init = np.ones(len(cand), bool)
+        cand_twin = np.full((len(cand), 1), -1, np.int64)
+        jc = jc[jc_init]
+        jc_init = np.ones(len(jc), bool)
+        jc_twin = np.full((len(jc), 1), -1, np.int64)
 
     # capacities
     n_tri_init = int(tri_init.sum())
@@ -547,11 +572,13 @@ def _pair_arrays(model: Model, cfg: SolverConfig, i_inst: int, j_inst: int,
         fgt_segmask=fgt_segmask, fgt_strides=fgt_strides or (),
         plan_pick=plan_pick, fgt_tnvalid=fgt_tnvalid, fgt_k=fgt_k,
         fgt_vl=fgt_vl, fgt_n=fgt_n, fgi_src=fgi_src, fgt_src=fgt_src,
+        static_activity=static_activity,
     )
 
 
 def _lower_contact(model: Model, cfg: SolverConfig, dtype, kw_n_pad=0,
-                   kw_elem_np=None, kw_diag_M_np=None):
+                   kw_elem_np=None, kw_diag_M_np=None,
+                   static_activity=False):
     """Build the directional pair list (HAKAI_j.jl:243-402)."""
     if model.contact_flag < 1:
         return ()
@@ -585,7 +612,8 @@ def _lower_contact(model: Model, cfg: SolverConfig, dtype, kw_n_pad=0,
         for (ii, jj, ei, ej) in directional:
             pairs.append(_pair_arrays(model, cfg, ii, jj, ei, ej,
                                       face_cache, dtype, kw_n_pad,
-                                      kw_elem_np, kw_diag_M_np))
+                                      kw_elem_np, kw_diag_M_np,
+                                      static_activity=static_activity))
     return tuple(pairs)
 
 
@@ -835,7 +863,9 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
             velo0[axis, node] = val
 
     pairs = _lower_contact(model, cfg, dtype, kw_n_pad=N,
-                           kw_elem_np=elem, kw_diag_M_np=diag_M)
+                           kw_elem_np=elem, kw_diag_M_np=diag_M,
+                           static_activity=(not fracture_enabled
+                                            and cfg.contact.static_cull))
 
     pl_tables = tuple(tuple((float(r[0]), float(r[1])) for r in m.plastic)
                       for m in mats)

@@ -55,6 +55,8 @@ def _compact(mask: jnp.ndarray, cap: int) -> jnp.ndarray:
 
 
 def _masked_minmax(x, valid):
+    if valid is None:
+        return x.min(axis=-1), x.max(axis=-1)
     big = jnp.asarray(jnp.inf, x.dtype)
     mn = jnp.where(valid, x, big).min(axis=-1)
     mx = jnp.where(valid, x, -big).max(axis=-1)
@@ -89,11 +91,17 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
     Ci = pair.cand_nodes.shape[0]
     Cj = pair.jnode_nodes.shape[0]
 
-    # --- activity masks over the static inventory ---
-    twin_dead = (pair.tri_twin >= 0) & ~flag[jnp.clip(pair.tri_twin, 0, None)]
-    tri_active = (pair.tri_init | twin_dead) & flag[pair.tri_elem]   # (2F,)
-    ni_active = _node_active(flag, pair.cand_init, pair.cand_twin)   # (Ci,)
-    nj_active = _node_active(flag, pair.jnode_init, pair.jnode_twin)  # (Cj,)
+    # --- activity masks over the static inventory (compile-time all-true
+    # on fracture-free decks: the inventory was culled at lowering) ---
+    if pair.static_activity:
+        tri_active = ni_active = nj_active = None
+    else:
+        twin_dead = ((pair.tri_twin >= 0)
+                     & ~flag[jnp.clip(pair.tri_twin, 0, None)])
+        tri_active = (pair.tri_init | twin_dead) & flag[pair.tri_elem]  # (2F,)
+        ni_active = _node_active(flag, pair.cand_init, pair.cand_twin)  # (Ci,)
+        nj_active = _node_active(flag, pair.jnode_init,
+                                 pair.jnode_twin)                       # (Cj,)
 
     # --- static-plan gathers of the step's kinematics ---
     posvel = jnp.concatenate([position, velo], axis=0)               # (6, N)
@@ -113,12 +121,15 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
     vel_j0 = _gather(velo, pair.plan_tvel, pair.tri_nodes[0])        # (3, 2F)
 
     # --- AABBs over the two active node sets (HAKAI_j.jl:2284-2315) ---
-    min_i, max_i = _masked_minmax(pos_i, ni_active[None])
-    min_j, max_j = _masked_minmax(pos_jn, nj_active[None])
+    min_i, max_i = _masked_minmax(
+        pos_i, None if ni_active is None else ni_active[None])
+    min_j, max_j = _masked_minmax(
+        pos_jn, None if nj_active is None else nj_active[None])
     range_min = jnp.maximum(min_i, min_j)
     range_max = jnp.minimum(max_i, max_j)
-    overlap = jnp.all(range_min <= range_max) & tri_active.any() \
-        & ni_active.any()
+    overlap = jnp.all(range_min <= range_max)
+    if tri_active is not None:
+        overlap &= tri_active.any() & ni_active.any()
     all_min = jnp.minimum(min_i, min_j)              # (3,)
 
     TB = min(cfgc.tri_block_self if pair.is_self else cfgc.tri_block, F2)
@@ -141,11 +152,15 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
                     & (q2 < range_min[:, None])).any(axis=0)
         t_out_hi = ((q0 > range_max[:, None]) & (q1 > range_max[:, None])
                     & (q2 > range_max[:, None])).any(axis=0)
-        tri_in = tri_active & ~(t_out_lo | t_out_hi)                 # (2F,)
+        tri_in = ~(t_out_lo | t_out_hi)                              # (2F,)
+        if tri_active is not None:
+            tri_in &= tri_active
 
         cell_i = jnp.ceil((pos_i - all_min[:, None]) / ddiv).astype(jnp.int32)
         node_in = ((pos_i >= range_min[:, None])
-                   & (pos_i <= range_max[:, None])).all(axis=0) & ni_active
+                   & (pos_i <= range_max[:, None])).all(axis=0)
+        if ni_active is not None:
+            node_in &= ni_active
 
         # --- hierarchical broad phase over (triangle-block, node-block)
         # pairs.  The reference's 3-D uniform grid (HAKAI_j.jl:2324-2363)

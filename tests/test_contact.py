@@ -129,7 +129,9 @@ def test_erosion_reexposes_interior_face():
     """Killing a surface element activates its twin's buried face and keeps
     the dead element's triangles out (HAKAI_j.jl:767-804 semantics)."""
     m = two_body_model(gap=0.5, nx_low=2)  # separated; only masks matter
-    lm = lower(m)
+    # static_cull would drop the twin inventory (this deck is fracture-free);
+    # keep it so the re-exposure mask logic stays exercised
+    lm = lower(m, SolverConfig(contact=ContactConfig(static_cull=False)))
     pair = lm.pairs[0]   # nodes of instance 0 vs triangles of instance 1... order
     # pick the pair whose triangle side is the lower slab (instance 0)
     pair = next(p for p in lm.pairs if p.j_instance == 0)
@@ -228,7 +230,7 @@ def test_inventory_partition_segment_invariants():
     windows can't degrade) and (b) pack tri_init faces at each segment's
     front (so the narrow phase's block-activity cull drops dead blocks)."""
     m = two_body_model()
-    model = lower(m, SolverConfig())
+    model = lower(m, SolverConfig(contact=ContactConfig(static_cull=False)))
     for pair in model.pairs:
         init = np.asarray(pair.tri_init)
         elem = np.asarray(pair.tri_elem)
@@ -245,3 +247,20 @@ def test_inventory_partition_segment_invariants():
         for s in range(0, n, 2048):
             seg_el = elem[s:s + 2048][init[s:s + 2048]]
             assert (np.diff(seg_el) >= 0).all()
+
+
+def test_static_cull_matches_full_inventory():
+    """Fracture-free decks lower with the twin inventory culled
+    (static_activity); the contact force must be identical to the full-
+    inventory lowering on an engaged, off-grid configuration."""
+    m = two_body_model(gap=-0.02, upper_shift=(0.13, 0.07))
+    lm_cull = lower(m)
+    lm_full = lower(m, SolverConfig(contact=ContactConfig(static_cull=False)))
+    assert all(p.static_activity for p in lm_cull.pairs)
+    assert not any(p.static_activity for p in lm_full.pairs)
+    assert (lm_cull.pairs[0].tri_nodes.shape[1]
+            < lm_full.pairs[0].tri_nodes.shape[1])
+    f_cull = np.asarray(contact_forces(lm_cull, init_state(lm_cull)))
+    f_full = np.asarray(contact_forces(lm_full, init_state(lm_full)))
+    assert np.abs(f_cull).max() > 0  # engaged
+    np.testing.assert_allclose(f_cull, f_full, rtol=1e-12, atol=1e-14)
