@@ -27,7 +27,11 @@ class SimState:
     velo: jnp.ndarray         # (3, N)
     Q: jnp.ndarray            # (3, N) internal force from previous step
     stress: jnp.ndarray       # (6, 8, E) integration-point Cauchy stress
-    strain: jnp.ndarray       # (6, 8, E) accumulated strain increments
+    strain: jnp.ndarray       # (6, E) accumulated GP-MEAN strain increments
+    #   (the per-GP strain tensor is write-only in the reference: its only
+    #   consumer is the output node-averaging, which takes the GP mean first
+    #   — cal_node_stress_strain, HAKAI_j.jl:3436 — so the state carries the
+    #   mean directly; 8x less strain traffic/memory, same output)
     eq_ps: jnp.ndarray        # (8, E) equivalent plastic strain
     yield_s: jnp.ndarray      # (8, E) current yield stress
     triax: jnp.ndarray        # (8, E) stress triaxiality
@@ -59,7 +63,7 @@ def init_state(model: LoweredModel) -> SimState:
         velo=velo,
         Q=zeros3N,
         stress=jnp.zeros((6, 8, E), edt),
-        strain=jnp.zeros((6, 8, E), edt),
+        strain=jnp.zeros((6, E), edt),
         eq_ps=jnp.zeros((8, E), edt),
         yield_s=yield_s,
         triax=jnp.zeros((8, E), edt),

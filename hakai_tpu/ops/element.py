@@ -59,7 +59,7 @@ _AXIS_G = ((1, 2), (0, 2), (0, 1))                        # modulating axes
 class ElementResult(NamedTuple):
     Qe: jnp.ndarray        # (3, 8, E) nodal internal forces (axis, node-slot, elem)
     stress: jnp.ndarray    # (6, 8, E) updated Cauchy stress
-    strain: jnp.ndarray    # (6, 8, E) updated accumulated strain
+    strain: jnp.ndarray    # (6, E) updated accumulated GP-mean strain
     eq_ps: jnp.ndarray     # (8, E)
     yield_s: jnp.ndarray   # (8, E)
     neg_jacobian: jnp.ndarray  # () int32 count of negative detJ (diagnostic)
@@ -116,7 +116,7 @@ def element_update(model: LoweredModel,
                    position: jnp.ndarray,   # (3, N)
                    d_disp: jnp.ndarray,     # (3, N)
                    stress: jnp.ndarray,     # (6, 8, E)
-                   strain: jnp.ndarray,     # (6, 8, E)
+                   strain: jnp.ndarray,     # (6, E) GP-mean accumulator
                    eq_ps: jnp.ndarray,      # (8, E)
                    yield_s: jnp.ndarray,    # (8, E)
                    element_flag: jnp.ndarray,  # (E,) bool
@@ -163,7 +163,7 @@ def element_core(model: LoweredModel,
                  pos_e: jnp.ndarray,        # (3, 8, E)
                  du: jnp.ndarray,           # (3, 8, E)
                  stress: jnp.ndarray,       # (6, 8, E)
-                 strain: jnp.ndarray,       # (6, 8, E)
+                 strain: jnp.ndarray,       # (6, E) GP-mean accumulator
                  eq_ps: jnp.ndarray,        # (8, E)
                  yield_s: jnp.ndarray,      # (8, E)
                  element_flag: jnp.ndarray,  # (E,) bool
@@ -204,8 +204,9 @@ def element_kinematics(coord_e, disp_e, disp_e_prev, edt, E: int):
 
 def element_core_c(model: LoweredModel, pos_e, du, stress_c, strain_c,
                    eq_ps, yield_s, element_flag, pre_centered=False):
-    """Component-list variant (6 x (8,E) stress/strain in and out) — used by
-    the fast chunk loop to avoid materializing (6,8,E) stacks every step.
+    """Component-list variant (6 x (8,E) stress, 6 x (E,) GP-mean strain in
+    and out) — used by the fast chunk loop to avoid materializing stacked
+    state every step.
     pre_centered=True asserts pos_e's node-0 row is exactly zero
     (element_kinematics output) so the math can skip re-centering."""
     return _math_maybe_slabbed(
@@ -376,10 +377,11 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     """Pure B-bar + radial-return + internal-force math on (…, B) arrays.
 
     Written against lax primitives only so it can run both as a plain traced
-    function and inside a Pallas kernel body.  ``stress``/``strain`` are
-    6-component sequences of (8,B) arrays in and out (avoids materializing
-    (6,8,B) stacks — worth ~0.3 ms/step at 131k elements).  Returns
-    (Qe, stress6, strain6, eq_ps, yield_s).
+    function and inside a Pallas kernel body.  ``stress`` is a 6-component
+    sequence of (8,B) arrays in and out (avoids materializing (6,8,B)
+    stacks — worth ~0.3 ms/step at 131k elements); ``strain`` is a
+    6-component sequence of (B,) GP-MEAN accumulators (see new_strain
+    below).  Returns (Qe, stress6, strain6, eq_ps, yield_s).
     """
     dtype = pos_e.dtype
 
@@ -495,7 +497,14 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     new_eq = _w(is_plastic, eq_ps + d_ep, eq_ps)
     new_y = _w(is_plastic, yield_s + H * d_ep, yield_s)
     new_stress = final
-    new_strain = [strain[c] + de[c] for c in range(6)]
+    # Accumulated strain is carried as the GP MEAN, (B,) per component: the
+    # per-GP tensor is write-only state in the reference — its only consumer
+    # is the output node-averaging, which takes the GP mean first
+    # (cal_node_stress_strain, HAKAI_j.jl:3436), and the erosion zeroing
+    # (HAKAI_j.jl:750-755) commutes with the mean.  mean(sum_t de) ==
+    # sum_t mean(de) exactly (x0.125 is an exact scaling), so accumulating
+    # the mean is the same math with 8x less state traffic.
+    new_strain = [strain[c] + 0.125 * de[c].sum(axis=0) for c in range(6)]
 
     # Measured negative result (round 3): computing triaxiality here "for
     # free" from the return map (mean preserved; final vm = new yield for

@@ -67,17 +67,17 @@ def element_core_pallas(model: LoweredModel, pos_e, du, stress, strain,
                          lambda i: (jnp.asarray(0, jnp.int32),) * 3,
                          memory_space=pltpu.VMEM),       # pusai table
             spec((3, 8)), spec((3, 8)),                  # pos_e, du
-            spec((6, 8)), spec((6, 8)),                  # stress, strain
+            spec((6, 8)), spec((6,)),                    # stress, strain(mean)
             spec((8,)), spec((8,)),                      # eq_ps, yield
             spec((1,)), spec((1,)), spec((1,)), spec((1,)), spec((1,)),
         ],
         out_specs=[
-            spec((3, 8)), spec((6, 8)), spec((6, 8)), spec((8,)), spec((8,)),
+            spec((3, 8)), spec((6, 8)), spec((6,)), spec((8,)), spec((8,)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((3, 8, E), dt),
             jax.ShapeDtypeStruct((6, 8, E), dt),
-            jax.ShapeDtypeStruct((6, 8, E), dt),
+            jax.ShapeDtypeStruct((6, E), dt),
             jax.ShapeDtypeStruct((8, E), dt),
             jax.ShapeDtypeStruct((8, E), dt),
         ],
@@ -98,9 +98,9 @@ def _make_packed_kernel(pl_tables, TE):
         G = fs_ref[0]
         lam = fs_ref[1]
         stress_c = [P_ref[8 * c:8 * (c + 1)] for c in range(6)]
-        strain_c = [P_ref[48 + 8 * c:48 + 8 * (c + 1)] for c in range(6)]
-        eq = P_ref[96:104]
-        y = P_ref[104:112]
+        strain_c = [P_ref[48 + c] for c in range(6)]     # (TE,) GP-mean rows
+        eq = P_ref[56:64]
+        y = P_ref[64:72]
         pos_e = pos_ref[:].reshape(3, 8, TE)
         du = du_ref[:].reshape(3, 8, TE)
         qe, s_c, e_c, eq2, y2, _ = _el._element_math(
@@ -109,17 +109,21 @@ def _make_packed_kernel(pl_tables, TE):
         qe_ref[:] = _el._stack_qe(qe).reshape(24, TE)
         for c in range(6):
             P_out[8 * c:8 * (c + 1)] = s_c[c]
-            P_out[48 + 8 * c:48 + 8 * (c + 1)] = e_c[c]
-        P_out[96:104] = eq2
-        P_out[104:112] = y2
+        # strain block written as one aligned 8-row tile (6 mean rows + the
+        # 2 zero pad rows that keep eq/yield on sublane boundaries)
+        P_out[48:56] = jnp.concatenate(
+            [jnp.stack(e_c), jnp.zeros((2, TE), e_c[0].dtype)], axis=0)
+        P_out[56:64] = eq2
+        P_out[64:72] = y2
     return kernel
 
 
 def element_core_packed(model: LoweredModel, pos24, du24, P, flag,
                         want_triax=False):
     """Packed-buffer variant for the chunk loop: the whole Gauss-point
-    state travels as ONE (112, E) array (stress 0:48, strain 48:96,
-    eq_ps 96:104, yield 104:112) and pos/du as (24, E) row blocks, so each
+    state travels as ONE (72, E) array (stress 0:48, GP-mean strain 48:54,
+    rows 54:56 zero pad for sublane alignment, eq_ps 56:64, yield 64:72)
+    and pos/du as (24, E) row blocks, so each
     grid step issues ~9 buffer DMAs instead of 22 — DMA-issue latency, not
     bandwidth or flops, dominated the many-buffer variant (measured 2.4 ms
     vs 0.68 ms XLA at 131k; this layout reaches ~0.3 ms).  ``want_triax``
@@ -149,10 +153,10 @@ def element_core_packed(model: LoweredModel, pos24, du24, P, flag,
             pl.BlockSpec((8, 3, 8),
                          lambda i: (jnp.asarray(0, jnp.int32),) * 3,
                          memory_space=pltpu.VMEM),
-            spec(112), spec(24), spec(24), spec(2), spec(2), spec(1),
+            spec(72), spec(24), spec(24), spec(2), spec(2), spec(1),
         ],
-        out_specs=[spec(112), spec(24)],
-        out_shape=[jax.ShapeDtypeStruct((112, E), dt),
+        out_specs=[spec(72), spec(24)],
+        out_shape=[jax.ShapeDtypeStruct((72, E), dt),
                    jax.ShapeDtypeStruct((24, E), dt)],
         interpret=jax.default_backend() != "tpu",
     )(jnp.asarray(_el._PUS, dt), P, pos24, du24, fstat, istat, flag_i)
@@ -276,8 +280,8 @@ def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False):
         vm = jnp.sqrt(1.5 * (dev[0]**2 + dev[1]**2 + dev[2]**2
                              + 2.0 * (dev[3]**2 + dev[4]**2 + dev[5]**2)))
 
-        eq_ps = P_ref[96:104]
-        yield_s = P_ref[104:112]
+        eq_ps = P_ref[56:64]
+        yield_s = P_ref[64:72]
         H = _el._hardening_slope_tab(pl_tables, mat, eq_ps)
         is_plastic = hasp[None, :] & (vm > yield_s) & flag[None, :]
         safe_vm = w_(vm == 0, 1.0, vm)
@@ -309,10 +313,14 @@ def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False):
 
         for c in range(6):
             P_out[8 * c:8 * (c + 1)] = final[c]
-            P_out[48 + 8 * c:48 + 8 * (c + 1)] = \
-                P_ref[48 + 8 * c:48 + 8 * (c + 1)] + de[c]
-        P_out[96:104] = w_(is_plastic, eq_ps + d_ep, eq_ps)
-        P_out[104:112] = w_(is_plastic, yield_s + H * d_ep, yield_s)
+        # GP-mean strain accumulator (see element._element_math new_strain):
+        # 6 mean rows + 2 zero pad rows, one aligned 8-row tile
+        P_out[48:56] = jnp.concatenate(
+            [jnp.stack([P_ref[48 + c] + 0.125 * de[c].sum(axis=0)
+                        for c in range(6)]),
+             jnp.zeros((2, de[0].shape[-1]), dtype)], axis=0)
+        P_out[56:64] = w_(is_plastic, eq_ps + d_ep, eq_ps)
+        P_out[64:72] = w_(is_plastic, yield_s + H * d_ep, yield_s)
         if want_triax:
             # triaxiality of the FINAL stress while it is still in VMEM
             # (fracture decks; saves the post-kernel (6,8,E) re-read) —
@@ -331,7 +339,7 @@ def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False):
 def element_core_packed_mxu(model: LoweredModel, pos24, du24, P, flag,
                             dprev24=None, want_triax=False):
     """MXU-assisted packed element kernel — same contract as
-    element_core_packed (state in/out as one (112, E) buffer, qe as
+    element_core_packed (state in/out as one (72, E) buffer, qe as
     (24, E) rows).  With ``dprev24`` the caller passes
     (coord24, disp24, dprev24) instead of (pos24, du24) and the kinematic
     differences happen inside the kernel (f32 decks only).  With
@@ -363,8 +371,8 @@ def element_core_packed_mxu(model: LoweredModel, pos24, du24, P, flag,
 
     extra_specs = [spec(24)] if kin_inside else []
     extra_args = [dprev24] if kin_inside else []
-    out_specs = [spec(112), spec(24)]
-    out_shape = [jax.ShapeDtypeStruct((112, E), dt),
+    out_specs = [spec(72), spec(24)]
+    out_shape = [jax.ShapeDtypeStruct((72, E), dt),
                  jax.ShapeDtypeStruct((24, E), dt)]
     if want_triax:
         out_specs.append(spec(8))
@@ -375,7 +383,7 @@ def element_core_packed_mxu(model: LoweredModel, pos24, du24, P, flag,
         grid=(n_tiles,),
         in_specs=[
             cspec((72, 24)), cspec((24, 72)),
-            spec(112), spec(24), spec(24), *extra_specs,
+            spec(72), spec(24), spec(24), *extra_specs,
             spec(2), spec(2), spec(1),
         ],
         out_specs=out_specs,
@@ -424,5 +432,5 @@ def packed_element_step(model: LoweredModel, coord_e, disp_e, disp_e_prev,
         # deferred erosion zeroing: dead elements carry stale stress; the
         # reference's triax for them is 0 (see solver.explicit.step_fast)
         triax = jnp.where(flag[None, :], triax_raw, 0.0)
-        flag, _ = erosion_delete_mask(model, P_new[96:104], triax, flag)
+        flag, _ = erosion_delete_mask(model, P_new[56:64], triax, flag)
     return P_new, qe, triax, flag

@@ -22,7 +22,7 @@ from ..core.lowering import LoweredModel
 class ErosionResult(NamedTuple):
     element_flag: jnp.ndarray  # (E,) bool
     stress: jnp.ndarray        # (6,8,E) zeroed where newly deleted
-    strain: jnp.ndarray        # (6,8,E)
+    strain: jnp.ndarray        # (6,E) GP-mean accumulator, zeroed likewise
     deleted_now: jnp.ndarray   # (E,) bool — deleted this step
 
 
@@ -70,5 +70,5 @@ def erode(model: LoweredModel,
     z = new_flag[None, None, :]
     return ErosionResult(new_flag,
                          jnp.where(z, stress, 0.0),
-                         jnp.where(z, strain, 0.0),
+                         jnp.where(new_flag[None, :], strain, 0.0),
                          delete)

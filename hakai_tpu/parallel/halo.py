@@ -104,7 +104,7 @@ class HaloState:
     velo: jnp.ndarray
     Q: jnp.ndarray          # (S, 3, No)
     stress: jnp.ndarray     # (S, 6, 8, El)
-    strain: jnp.ndarray
+    strain: jnp.ndarray     # (S, 6, El) GP-mean accumulator
     eq_ps: jnp.ndarray      # (S, 8, El)
     yield_s: jnp.ndarray
     triax: jnp.ndarray
@@ -344,7 +344,7 @@ def init_halo_state(hm: HaloModel) -> HaloState:
         disp=z3, disp_pre=-hm.velo0 * jnp.asarray(hm.base.dt, dt),
         velo=hm.velo0, Q=z3,
         stress=jnp.zeros((S, 6, 8, El), edt),
-        strain=jnp.zeros((S, 6, 8, El), edt),
+        strain=jnp.zeros((S, 6, El), edt),
         eq_ps=jnp.zeros((S, 8, El), edt),
         yield_s=jnp.broadcast_to(hm.yield0_e[:, None], (S, 8, El)).astype(edt),
         triax=jnp.zeros((S, 8, El), edt),
@@ -531,7 +531,7 @@ def _halo_step_fast(hm: HaloModel, lm: LoweredModel, s: HaloState,
 def _halo_step_fast_packed(hm: HaloModel, lm: LoweredModel, s: HaloState,
                            disp_e_prev, P, flag_g):
     """Packed-state variant of _halo_step_fast: the whole Gauss-point state
-    travels as one (112, El) array through the fused Pallas element kernel
+    travels as one (72, El) array through the fused Pallas element kernel
     (ops/element_pallas — "pallas" packed variant or "pallas_mxu"), exactly
     mirroring solver.explicit.step_fast_packed on the window.  Engaged by
     make_halo_step when ops.element.pallas_core_ok holds for the window
@@ -700,8 +700,8 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
                 out, _, Pn, _ = jax.lax.fori_loop(
                     0, n_steps, stepp, (s0, disp_e0, P0, fg_init))
                 Pn = jnp.concatenate(      # deferred erosion zeroing
-                    [jnp.where(out.element_flag[None, :], Pn[:96], 0.0),
-                     Pn[96:]], axis=0)
+                    [jnp.where(out.element_flag[None, :], Pn[:56], 0.0),
+                     Pn[56:]], axis=0)
                 out = unpack_gauss_state(out, Pn, mm.El)
             else:
                 sc0 = tuple(stt.stress[c] for c in range(6))
@@ -720,7 +720,8 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
                     0, n_steps, stepb, (s0, disp_e0, sc0, ec0, fg_init))
                 keep = out.element_flag[None, None, :]  # deferred zeroing
                 out = out.replace(stress=jnp.where(keep, jnp.stack(sc), 0.0),
-                                  strain=jnp.where(keep, jnp.stack(ec), 0.0))
+                                  strain=jnp.where(out.element_flag[None, :],
+                                                   jnp.stack(ec), 0.0))
             if not mm.base.fracture_enabled:  # chunk-exit triax (step_fast)
                 out = out.replace(triax=triax_stress(out.stress))
         else:

@@ -136,7 +136,7 @@ def model_specs(model: LoweredModel) -> LoweredModel:
     return dataclasses.replace(model, **kw)
 
 
-_STATE_RANKS = dict(t=0, disp=2, disp_pre=2, velo=2, Q=2, stress=3, strain=3,
+_STATE_RANKS = dict(t=0, disp=2, disp_pre=2, velo=2, Q=2, stress=3, strain=2,
                     eq_ps=2, yield_s=2, triax=2, element_flag=1,
                     contact_force=2)
 
@@ -324,7 +324,8 @@ def make_sharded_step(model: LoweredModel, mesh: Mesh, n_steps: int = 1):
                 0, n_steps, stepb, (s0, disp_e0, stress_c0, strain_c0))
             keep = out.element_flag[None, None, :]  # deferred erosion zeroing
             out = out.replace(stress=jnp.where(keep, jnp.stack(s_c), 0.0),
-                              strain=jnp.where(keep, jnp.stack(e_c), 0.0))
+                              strain=jnp.where(out.element_flag[None, :],
+                                               jnp.stack(e_c), 0.0))
             if not lm.fracture_enabled:  # chunk-exit triax (step_fast)
                 out = out.replace(triax=triax_stress(out.stress))
             return out

@@ -192,7 +192,7 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
 
 def step_fast_packed(model: LoweredModel, state: SimState, disp_e_prev, P):
     """disp_e-carry step for the fused Pallas element kernel: the whole
-    Gauss-point state travels as one packed (112, E) array ``P`` (see
+    Gauss-point state travels as one packed (72, E) array ``P`` (see
     ops/element_pallas.element_core_packed), minimizing the kernel's
     per-grid-step DMA issues."""
     from ..ops.element import assemble_internal_force, gather_disp_e
@@ -214,15 +214,19 @@ def step_fast_packed(model: LoweredModel, state: SimState, disp_e_prev, P):
 
 
 def pack_gauss_state(state: SimState, E: int):
+    """(72, E) packed Gauss-point state: stress 0:48, GP-mean strain 48:54,
+    zero pad 54:56 (keeps eq/yield on sublane-tile boundaries inside the
+    Pallas kernels), eq_ps 56:64, yield 64:72."""
+    dt = state.stress.dtype
     return jnp.concatenate(
-        [state.stress.reshape(48, E), state.strain.reshape(48, E),
-         state.eq_ps, state.yield_s], axis=0)
+        [state.stress.reshape(48, E), state.strain,
+         jnp.zeros((2, E), dt), state.eq_ps, state.yield_s], axis=0)
 
 
 def unpack_gauss_state(state: SimState, P, E: int) -> SimState:
     return state.replace(stress=P[:48].reshape(6, 8, E),
-                         strain=P[48:96].reshape(6, 8, E),
-                         eq_ps=P[96:104], yield_s=P[104:112])
+                         strain=P[48:54],
+                         eq_ps=P[56:64], yield_s=P[64:72])
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -258,7 +262,7 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
                 lambda _, c: step_fast_packed(model, c[0], c[1], c[2]),
                 (s0, disp_e0, P0), unroll=unroll)
             P = jnp.concatenate(           # deferred erosion zeroing
-                [jnp.where(out.element_flag[None, :], P[:96], 0.0), P[96:]],
+                [jnp.where(out.element_flag[None, :], P[:56], 0.0), P[56:]],
                 axis=0)
             if not model.fracture_enabled:   # chunk-exit triax (step_fast)
                 from ..ops.element import triax_components
@@ -280,7 +284,8 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
             unroll=unroll)
         keep = out.element_flag[None, None, :]   # deferred erosion zeroing
         out = out.replace(stress=jnp.where(keep, jnp.stack(s_c), 0.0),
-                          strain=jnp.where(keep, jnp.stack(e_c), 0.0))
+                          strain=jnp.where(out.element_flag[None, :],
+                                           jnp.stack(e_c), 0.0))
         if not model.fracture_enabled:       # chunk-exit triax (step_fast)
             from ..ops.element import triax_components
             out = out.replace(triax=triax_components(

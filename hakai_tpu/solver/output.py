@@ -34,7 +34,7 @@ def _node_average(model: LoweredModel, elem_val: jnp.ndarray) -> jnp.ndarray:
 @jax.jit
 def node_fields(model: LoweredModel, stress, strain, eq_ps, triax) -> NodeData:
     es = stress.mean(axis=1)       # (6, E)
-    ee = strain.mean(axis=1)
+    ee = strain                    # already the GP mean (state carries it)
     ep = eq_ps.mean(axis=0)        # (E,)
     et = triax.mean(axis=0)
     ns = _node_average(model, es)

@@ -28,6 +28,11 @@ def load_checkpoint(path: str, like: SimState) -> SimState:
     for f in dataclasses.fields(like):
         ref = getattr(like, f.name)
         arr = data[f.name]
+        if (f.name == "strain" and arr.ndim == np.ndim(ref) + 1
+                and arr.shape[-2] == 8):
+            # pre-GP-mean checkpoint: strain was stored per Gauss point
+            # (…, 6, 8, E); the state now carries the GP mean (…, 6, E)
+            arr = arr.mean(axis=-2)
         if arr.shape != np.shape(ref):
             raise ValueError(
                 f"checkpoint field {f.name} has shape {arr.shape}, "

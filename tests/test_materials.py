@@ -58,7 +58,7 @@ def test_erosion_only_ductile_material():
     eq = jnp.full((8, E), 2.0)
     tx = jnp.full((8, E), 0.5)
     flag = lm.elem_exists
-    er = erode(lm, jnp.zeros((6, 8, E)), jnp.zeros((6, 8, E)), eq, tx, flag)
+    er = erode(lm, jnp.zeros((6, 8, E)), jnp.zeros((6, E)), eq, tx, flag)
     f = np.asarray(er.element_flag[:2])
     assert f[0]          # elastic material never erodes
     assert not f[1]      # ductile material erodes (fr = 0.1 at triax>=0.3)
@@ -70,6 +70,6 @@ def test_erosion_negative_triax_never_deletes():
     E = lm.E
     eq = jnp.full((8, E), 2.0)
     tx = jnp.full((8, E), -0.5)
-    er = erode(lm, jnp.zeros((6, 8, E)), jnp.zeros((6, 8, E)), eq, tx,
+    er = erode(lm, jnp.zeros((6, 8, E)), jnp.zeros((6, E)), eq, tx,
                lm.elem_exists)
     assert bool(er.element_flag[1])   # HAKAI_j.jl:720-722
