@@ -37,7 +37,8 @@ N1 = int(os.environ.get("N1", 20))
 N2 = int(os.environ.get("N2", 120))
 
 cfg = SolverConfig(dtype="float32", node_pad=128, elem_pad=128,
-                   element_kernel=os.environ.get("EKERNEL", "pallas_mxu"))
+                   element_kernel=os.environ.get("EKERNEL", "pallas_mxu"),
+                   mxu_precision=os.environ.get("MXU_PRECISION", "highest"))
 model = lower(bar_model(nx=NX, ny=NY, nz=NZ, d_time=1e-8, end_time=1.0), cfg)
 state = init_state(model)
 E, N = model.E, model.coord.shape[1]
@@ -86,7 +87,7 @@ slope(lambda p, n: kernel_loop(p, n), P0, "kernel:")
 def gather_loop(d, n):
     def body(_, dd):
         de = gather_disp_e(model, dd)
-        return dd + eps * de[:, 0, :N]
+        return dd.at[:, :E].add(eps * de[:, 0, :])
     return jax.lax.fori_loop(0, n, body, d)
 
 
@@ -109,7 +110,7 @@ slope(lambda q, n: asm_loop(q, n), qe0, "asm:")
 @jax.jit
 def integ_loop(s, n):
     def body(_, st):
-        t, disp_new, velo, cforce = ex._integrate(model, st)
+        t, disp_new, velo, cforce, _ = ex._integrate(model, st)
         return st.replace(t=t, disp=disp_new, disp_pre=st.disp, velo=velo,
                           contact_force=cforce)
     return jax.lax.fori_loop(0, n, body, s)

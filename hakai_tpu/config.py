@@ -67,6 +67,13 @@ class SolverConfig:
     #                              the MXU kernel.  "pallas": the earlier
     #                              VPU-only packed kernel (loses to XLA;
     #                              kept for comparison; see docs/PERF.md)
+    mxu_precision: str = "highest"  # f32 matmul passes in the MXU element
+    #                              kernel: "highest" = 6-pass bf16 (exact
+    #                              f32), "high" = 3-pass bf16 (~1e-6 rel
+    #                              error, ~2x faster contractions).  The
+    #                              J/Gdu/Qe contractions are ~2/3 of the
+    #                              kernel's MXU time at K=24; see
+    #                              docs/PERF.md for the measured tradeoff.
     elem_slab: int = 0           # element-math slab size (fori_loop slabs of
     #                              the element-local math); 0 off (measured
     #                              slower at 1M: the slab loop's DUS carries
@@ -86,3 +93,18 @@ class SolverConfig:
     metrics_path: str | None = None  # JSONL per-chunk diagnostics stream
     checkpoint_every: int = 0    # save resumable checkpoint every N frames
     checkpoint_path: str | None = None
+    energy_check: bool = False   # accumulate the discrete energy balance
+    #                              (external/constraint work vs kinetic +
+    #                              internal work) in-state; the residual is
+    #                              exactly zero in real arithmetic for the
+    #                              central-difference update, so its growth
+    #                              measures roundoff-energy injection — the
+    #                              instability mode that precedes the f32
+    #                              crash-deck blow-up by thousands of steps
+    #                              (docs/PERF.md precision section).  Costs
+    #                              two (3,N) dot-reductions per step; off by
+    #                              default to keep the hot path unchanged.
+    energy_abort_rel: float = 0.0  # abort (FloatingPointError) when
+    #                              |energy residual| exceeds this fraction of
+    #                              the run's energy scale between chunks;
+    #                              0 = report in metrics only, never abort

@@ -206,8 +206,10 @@ def _mxu_tables():
     return CJ, CQ
 
 
-def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False):
-    hi = jax.lax.Precision.HIGHEST
+def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False,
+                     precision="highest"):
+    hi = (jax.lax.Precision.HIGH if precision == "high"
+          else jax.lax.Precision.HIGHEST)
     dn = (((1,), (0,)), ((), ()))      # plain (M,K)@(K,N)
 
     def kernel(cj_ref, cq_ref, P_ref, pos_ref, du_ref, *rest):
@@ -379,7 +381,9 @@ def element_core_packed_mxu(model: LoweredModel, pos24, du24, P, flag,
         out_shape.append(jax.ShapeDtypeStruct((8, E), dt))
     out = pl.pallas_call(
         _make_mxu_kernel(model.pl_tables, TE, kin_inside=kin_inside,
-                         want_triax=want_triax),
+                         want_triax=want_triax,
+                         precision=getattr(model.config, "mxu_precision",
+                                           "highest")),
         grid=(n_tiles,),
         in_specs=[
             cspec((72, 24)), cspec((24, 72)),

@@ -756,12 +756,29 @@ class AsmPhysPlan:
     # per-slot block-aligned pads (front, in lanes) aligning every slot's
     # windows: the 8 local corners of a hex mesh reference elements offset
     # by up to +-ny*nz from each other — without the alignment the shared
-    # window would have to span that whole range
+    # window would have to span that whole range.  The pads are VIRTUAL:
+    # the kernel never materializes a padded source (measured 1.5 ms/step
+    # of the 2.7 ms assembly at 1M elements was the pad+stack copy) —
+    # instead the window DMA reads the raw (C, 8, E) Qe with a per
+    # slot-GROUP source offset (slots sharing a pad form contiguous runs),
+    # landing each group at its aligned scratch position.
     slot_pad: tuple = dataclasses.field(metadata=dict(static=True),
                                         default=())
     src_len: int = dataclasses.field(metadata=dict(static=True), default=0)
-    starts: jnp.ndarray = None    # (n_tiles,) int32 src block start
-    shifts: jnp.ndarray = None    # (n_tiles,) int32 scratch dest block offset
+    # contiguous runs of equal slot pads: ((pad_blocks, slot_lo, slot_hi)..)
+    pad_groups: tuple = dataclasses.field(metadata=dict(static=True),
+                                          default=())
+    # static scratch front margin absorbing the per-group source clamping
+    # (a group's unclamped window can run past either end of the raw source
+    # by up to max(pad) blocks); lane reads shift by the same margin
+    margin: int = dataclasses.field(metadata=dict(static=True), default=0)
+    E: int = dataclasses.field(metadata=dict(static=True), default=0)
+    starts: jnp.ndarray = None    # (n_tiles,) int32 virtual src block start
+    shifts: jnp.ndarray = None    # (n_tiles,) int32 virtual dest block off
+    g_starts: jnp.ndarray = None  # (n_tiles*n_groups,) int32 clamped raw-
+    #                               source block starts per (tile, group)
+    g_shifts: jnp.ndarray = None  # (n_tiles*n_groups,) int32 scratch dest
+    #                               block offsets per (tile, group)
     lidx: jnp.ndarray = None      # (n_tiles*rounds*rows*8, 128) int32
 
 
@@ -847,12 +864,38 @@ def plan_assemble_phys(elem: np.ndarray, nE: int, E: int, N: int,
 
     Eblk = src_len // LANE
     w_blocks = rows + dk - 1
-    if Eblk < w_blocks:
+    if Eblk < w_blocks or E // LANE < w_blocks:
         return AsmPhysPlan(ok=False)
     src_start = np.clip(vb_t, 0, Eblk - w_blocks)
     k0 = max(int(max((vb_t - src_start).max(), 0)), min_k0)
     shifts = k0 - (vb_t - src_start)
-    scratch_blocks = int(shifts.max()) + w_blocks
+
+    # --- per slot-group clamped windows on the RAW (unpadded) source.
+    # Padded position q = pad_i[i]*LANE + e, so a group with pad P reads raw
+    # blocks [start - P, start - P + w); clamping into [0, E/128 - w] keeps
+    # the copy in range, and the dest offset absorbs the clamp so every
+    # element still lands at its virtual scratch block (start-relative) +
+    # margin.  Stale scratch outside a clamped copy is only read by lanes
+    # whose delta points outside the raw element range, i.e. invalid lanes
+    # the select discards.
+    runs = []
+    lo = 0
+    for i in range(1, 9):
+        if i == 8 or pad_i[i] != pad_i[lo]:
+            runs.append((int(pad_i[lo]), lo, i))
+            lo = i
+    margin = int(pad_i.max())
+    Eblk_u = E // LANE
+    n_groups = len(runs)
+    g_starts = np.zeros((n_tiles, n_groups), np.int64)
+    g_shifts = np.zeros((n_tiles, n_groups), np.int64)
+    for g, (pad_g, _, _) in enumerate(runs):
+        raw = src_start - pad_g
+        cs = np.clip(raw, 0, Eblk_u - w_blocks)
+        g_starts[:, g] = cs
+        g_shifts[:, g] = shifts + margin + (cs - raw)
+    scratch_blocks = max(int(g_shifts.max()) + w_blocks,
+                         k0 + margin + rows + dk - 1)
 
     # lidx[(t, r, s, i), l] = delta*128 + e%128, sentinel if invalid
     lidx = np.full((N, rounds, 8), _PHYS_SENTINEL, np.int64)
@@ -865,47 +908,70 @@ def plan_assemble_phys(elem: np.ndarray, nE: int, E: int, N: int,
         rows=rows, dk=dk, rounds=rounds, n_tiles=n_tiles, w_blocks=w_blocks,
         k0=k0, scratch_blocks=scratch_blocks, ok=True, N=N,
         slot_pad=tuple(int(p) * LANE for p in pad_i), src_len=src_len,
+        pad_groups=tuple(runs), margin=margin, E=E,
         starts=jnp.asarray(src_start.astype(np.int32)),
         shifts=jnp.asarray(shifts.astype(np.int32)),
+        g_starts=jnp.asarray(g_starts.astype(np.int32).reshape(-1)),
+        g_shifts=jnp.asarray(g_shifts.astype(np.int32).reshape(-1)),
         lidx=jnp.asarray(lidx.astype(np.int32)),
     )
 
 
 def _make_phys_asm_kernel(C: int, dk: int, rounds: int, rows: int,
-                          w_blocks: int, scratch_blocks: int, k0: int):
-    def kernel(start_ref, shift_ref, lidx_ref, src_hbm, out_ref,
+                          w_blocks: int, scratch_blocks: int, k0: int,
+                          pad_groups, margin: int):
+    n_groups = len(pad_groups)
+    k0m = k0 + margin
+
+    def kernel(gs_ref, gsh_ref, lidx_ref, src_hbm, out_ref,
                scratch, sems):
         i = pl.program_id(0)
         n = pl.num_programs(0)
         slot = jax.lax.rem(i, jnp.int32(2))
         nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
-        def dma(s, t, ch):
+        def dma(s, t, ch, g):
+            # per slot-group copy straight out of the raw (C, 8, E) source:
+            # the virtual per-slot alignment pads are realized by the
+            # per-group source/dest offsets, never materialized.  Each
+            # group gets its own full-8-row scratch plane — sub-slicing the
+            # sublane-tiled slot dim in a DMA is a Mosaic alignment error
+            # (tile 8), so the copy moves all 8 rows at group g's offset
+            # and compute selects the rows that belong to the group.
             chi = jnp.asarray(ch, jnp.int32)
+            tg = t * jnp.int32(n_groups) + jnp.int32(g)
             return pltpu.make_async_copy(
-                src_hbm.at[chi, :, pl.ds(start_ref[t] * LANE,
+                src_hbm.at[chi, :, pl.ds(gs_ref[tg] * LANE,
                                          w_blocks * LANE)],
-                scratch.at[s, chi, :, pl.ds(shift_ref[t] * LANE,
-                                            w_blocks * LANE)],
-                sems.at[s, chi])
+                scratch.at[s, chi, jnp.asarray(g, jnp.int32), :,
+                           pl.ds(gsh_ref[tg] * LANE, w_blocks * LANE)],
+                sems.at[s, chi, jnp.asarray(g, jnp.int32)])
 
         @pl.when(i == 0)
         def _():
-            if scratch_blocks > w_blocks:
-                scratch[...] = jnp.zeros(scratch.shape, scratch.dtype)
+            # stale scratch (outside a clamped group copy) is read only by
+            # select-discarded lanes; zero once so it can never hold NaN
+            # bit patterns from uninitialized VMEM
+            scratch[...] = jnp.zeros(scratch.shape, scratch.dtype)
             for ch in range(C):
-                dma(slot, i, ch).start()
+                for g in range(n_groups):
+                    dma(slot, i, ch, g).start()
 
         @pl.when(i + 1 < n)
         def _():
             for ch in range(C):
-                dma(nxt, i + 1, ch).start()
+                for g in range(n_groups):
+                    dma(nxt, i + 1, ch, g).start()
 
         lidx = lidx_ref[:]                  # (rounds*rows*8, 128)
         lane = lidx & (LANE - 1)
         drow = lidx >> 7
+        # static row->group selector: row r of the combined window comes
+        # from the plane of the group containing slot r
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
         for ch in range(C):
-            dma(slot, i, ch).wait()
+            for g in range(n_groups):
+                dma(slot, i, ch, g).wait()
         for ch in range(C):
             for s in range(rows):
                 acc = jnp.zeros((8, LANE), scratch.dtype)
@@ -914,8 +980,12 @@ def _make_phys_asm_kernel(C: int, dk: int, rounds: int, rows: int,
                     lane_g = lane[sl]       # (8, 128)
                     drow_g = drow[sl]
                     for d in range(dk):
-                        V = scratch[slot, ch, :,
-                                    pl.ds((k0 + s + d) * LANE, LANE)]
+                        col = pl.ds((k0m + s + d) * LANE, LANE)
+                        V = scratch[slot, ch, 0, :, col]
+                        for g in range(1, n_groups):
+                            _, lo, _ = pad_groups[g]
+                            V = jax.lax.select(
+                                row >= lo, scratch[slot, ch, g, :, col], V)
                         val = _lane_lookup(V, lane_g)
                         acc = acc + jax.lax.select(
                             drow_g == d, val, jnp.zeros_like(val))
@@ -926,26 +996,17 @@ def _make_phys_asm_kernel(C: int, dk: int, rounds: int, rows: int,
 def blocked_assemble_phys(qe, plan: AsmPhysPlan) -> jnp.ndarray:
     """Qe -> (C, N) assembled nodal force via the physical-layout plan.
 
-    ``qe`` is a (C, 8, E) array or a [b][i] list of (E,) component rows —
-    the rows form lets the per-slot alignment pad build the (C, 8, P)
-    kernel source in ONE concat straight from the math's column outputs
-    (no intermediate (C, 8, E) materialization, no T(1,128) slice copies).
+    ``qe`` is the raw (C, 8, E) internal-force array (or a [b][i] list of
+    (E,) rows, stacked here).  It is passed to the kernel UNPADDED — the
+    per-slot alignment pads live only in the plan's per-group DMA offsets.
+    (The previous padded-source build cost 1.5 ms/step of the 2.7 ms
+    assembly at 1M elements: a full (C, 8, E+pad) copy per call.)
     """
     if isinstance(qe, (list, tuple)):
-        C = len(qe)
-        E = qe[0][0].shape[-1]
-        P = plan.src_len
-        src = jnp.stack(
-            [jnp.stack([jnp.pad(qe[b][i],
-                                (plan.slot_pad[i], P - E - plan.slot_pad[i]))
-                        for i in range(8)]) for b in range(C)])
+        src = jnp.stack([jnp.stack(list(qb)) for qb in qe])
     else:
-        C, _, E = qe.shape
-        P = plan.src_len
-        src = jnp.stack(
-            [jnp.pad(qe[:, i], ((0, 0), (plan.slot_pad[i],
-                                         P - E - plan.slot_pad[i])))
-             for i in range(8)], axis=1)         # (C, 8, P)
+        src = qe
+    C = src.shape[0]
     rows = plan.rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -958,16 +1019,18 @@ def blocked_assemble_phys(qe, plan: AsmPhysPlan) -> jnp.ndarray:
         out_specs=pl.BlockSpec((C, rows, LANE),
                                lambda i, ss, sh: (_I0(), i, _I0())),
         scratch_shapes=[
-            pltpu.VMEM((2, C, 8, plan.scratch_blocks * LANE), src.dtype),
-            pltpu.SemaphoreType.DMA((2, C)),
+            pltpu.VMEM((2, C, len(plan.pad_groups), 8,
+                        plan.scratch_blocks * LANE), src.dtype),
+            pltpu.SemaphoreType.DMA((2, C, len(plan.pad_groups))),
         ],
     )
     out = pl.pallas_call(
         _make_phys_asm_kernel(C, plan.dk, plan.rounds, rows, plan.w_blocks,
-                              plan.scratch_blocks, plan.k0),
+                              plan.scratch_blocks, plan.k0,
+                              plan.pad_groups, plan.margin),
         out_shape=jax.ShapeDtypeStruct((C, plan.N // LANE, LANE), src.dtype),
         grid_spec=grid_spec,
-    )(plan.starts, plan.shifts, plan.lidx, src)
+    )(plan.g_starts, plan.g_shifts, plan.lidx, src)
     return out.reshape(C, plan.N)
 
 
@@ -991,7 +1054,8 @@ def plan_sharded_assemble_phys(elem_per_shard, nE_per_shard, E: int, N: int,
 
     def meta_set(ps):
         return {(p.rows, p.dk, p.rounds, p.n_tiles, p.w_blocks, p.k0,
-                 p.scratch_blocks, p.N, p.slot_pad, p.src_len) for p in ps}
+                 p.scratch_blocks, p.N, p.slot_pad, p.src_len,
+                 p.pad_groups, p.margin, p.E) for p in ps}
 
     plans = plan_all()
     if not all(p.ok for p in plans):
@@ -1010,14 +1074,14 @@ def plan_sharded_assemble_phys(elem_per_shard, nE_per_shard, E: int, N: int,
             return None
     scratch = max(p.scratch_blocks for p in plans)
     plans = [dataclasses.replace(p, scratch_blocks=scratch) for p in plans]
-    meta = {(p.rows, p.dk, p.rounds, p.n_tiles, p.w_blocks, p.k0,
-             p.scratch_blocks, p.N, p.slot_pad, p.src_len) for p in plans}
-    if len(meta) != 1:
+    if len(meta_set(plans)) != 1:
         return None
     return dataclasses.replace(
         plans[0],
         starts=jnp.stack([p.starts for p in plans]),
         shifts=jnp.stack([p.shifts for p in plans]),
+        g_starts=jnp.stack([p.g_starts for p in plans]),
+        g_shifts=jnp.stack([p.g_shifts for p in plans]),
         lidx=jnp.stack([p.lidx for p in plans]))
 
 

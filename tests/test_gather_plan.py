@@ -97,24 +97,24 @@ def test_diag_fallback_scattered():
 
 def _emulate_phys_asm(qe, plan):
     """NumPy emulation of the physical-layout assembly kernel (the exact
-    window/scratch/diagonal indexing the Mosaic kernel performs)."""
+    per-group window/scratch/diagonal indexing the Mosaic kernel performs —
+    the UNPADDED source with per slot-group DMA offsets)."""
     from hakai_tpu.ops.gather_pallas import LANE
     C, _, E = qe.shape
-    P = plan.src_len
-    src = np.stack([np.pad(qe[:, i], ((0, 0), (plan.slot_pad[i],
-                                               P - E - plan.slot_pad[i])))
-                    for i in range(8)], axis=1)           # (C, 8, P)
     out = np.zeros((C, plan.N), qe.dtype)
     lidx = np.asarray(plan.lidx)
-    starts = np.asarray(plan.starts)
-    shifts = np.asarray(plan.shifts)
+    g_starts = np.asarray(plan.g_starts).reshape(plan.n_tiles, -1)
+    g_shifts = np.asarray(plan.g_shifts).reshape(plan.n_tiles, -1)
     W = plan.scratch_blocks * LANE
-    rows, rounds, dk, k0 = plan.rows, plan.rounds, plan.dk, plan.k0
+    rows, rounds, dk = plan.rows, plan.rounds, plan.dk
+    k0m = plan.k0 + plan.margin
+    w = plan.w_blocks * LANE
     for t in range(plan.n_tiles):
         scratch = np.zeros((C, 8, W), qe.dtype)
-        w = plan.w_blocks * LANE
-        scratch[:, :, shifts[t]*LANE:shifts[t]*LANE + w] = \
-            src[:, :, starts[t]*LANE:starts[t]*LANE + w]
+        for g, (_, lo, hi) in enumerate(plan.pad_groups):
+            cs = g_starts[t, g] * LANE
+            ds = g_shifts[t, g] * LANE
+            scratch[:, lo:hi, ds:ds + w] = qe[:, lo:hi, cs:cs + w]
         for s in range(rows):
             acc = np.zeros((C, 8, LANE), qe.dtype)
             for r in range(rounds):
@@ -124,7 +124,7 @@ def _emulate_phys_asm(qe, plan):
                 d = li >> 7
                 for i in range(8):
                     sel = d[i] < dk
-                    col = (k0 + s + d[i]) * LANE + lane[i]
+                    col = (k0m + s + d[i]) * LANE + lane[i]
                     acc[:, i, sel] += scratch[:, i, col[sel] % W]
             out[:, t*rows*LANE + s*LANE:(t*rows + s + 1)*LANE] = \
                 acc.sum(axis=1)
@@ -188,6 +188,8 @@ def test_sharded_phys_asm_plan_matches_direct():
     for d in range(8):
         local = _dc.replace(plan,
                             starts=plan.starts[d], shifts=plan.shifts[d],
+                            g_starts=plan.g_starts[d],
+                            g_shifts=plan.g_shifts[d],
                             lidx=plan.lidx[d])
         k = int(al[d].sum())
         qe = rng.standard_normal((3, 8, hm.El)).astype(np.float32)
