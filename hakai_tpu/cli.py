@@ -38,6 +38,18 @@ def main(argv=None):
                     help="write per-chunk JSONL diagnostics to this path")
     ap.add_argument("--check-nan", action="store_true",
                     help="abort when displacements go non-finite")
+    ap.add_argument("--energy-check", action="store_true",
+                    help="accumulate the discrete energy balance (external/"
+                         "constraint work vs kinetic + internal work); the "
+                         "residual is exact in real arithmetic, so its "
+                         "growth detects roundoff-energy injection "
+                         "(precision instability) thousands of steps "
+                         "before NaN.  Reported in --metrics records")
+    ap.add_argument("--energy-abort", type=float, default=0.0,
+                    metavar="REL",
+                    help="with --energy-check: abort when the energy "
+                         "residual exceeds REL of the run's energy scale "
+                         "(e.g. 0.05); 0 = never abort")
     ap.add_argument("--compile-cache",
                     default=os.environ.get("HAKAI_COMPILE_CACHE",
                                            "~/.cache/hakai_tpu/xla"),
@@ -123,6 +135,8 @@ def main(argv=None):
         metrics_path=args.metrics,
         checkpoint_every=args.checkpoint_every,
         check_nan=args.check_nan,
+        energy_check=args.energy_check or args.energy_abort > 0,
+        energy_abort_rel=args.energy_abort,
         chunk_unroll=args.chunk_unroll,
     )
     if cfg.dtype in ("float64", "mixed"):
@@ -152,11 +166,30 @@ def main(argv=None):
     if model.dt > model.cfl_dt:
         print(f"WARNING: dt={model.dt:.3e} exceeds CFL estimate "
               f"{model.cfl_dt:.3e} — expect instability")
+    if (args.precision == "f64" and model.pairs
+            and not model.fracture_enabled):
+        # default-experience hint: the crash decks (contact, fracture-free)
+        # are where f64 costs the most; mixed was validated on them
+        # (KE trajectory matches f64 to ~4 digits through 48k steps,
+        # docs/PERF.md) at ~5.8x the speed
+        print("hint: this contact deck runs full f64 (reference-matching "
+              "default).  --precision mixed (f64 kinematics + f32 element/"
+              "contact math) is validated on the crash decks and ~5.8x "
+              "faster; add --energy-check to monitor precision health")
 
     state = init_state(model)
+    resume_halo = None
     if args.resume:
-        state = load_checkpoint(args.resume, state)
-        print(f"resumed at step {int(state.t)}")
+        from .parallel.halo import is_halo_checkpoint
+        if is_halo_checkpoint(args.resume):
+            if not args.halo or args.halo < 2:
+                raise SystemExit(f"{args.resume} is a shard-major halo "
+                                 "checkpoint; pass the matching --halo N")
+            resume_halo = args.resume     # loaded inside run() post-partition
+            print("resuming from halo checkpoint")
+        else:
+            state = load_checkpoint(args.resume, state)
+            print(f"resumed at step {int(state.t)}")
     want = max(args.devices or 0, args.halo or 0)
     if want > 1:
         import jax
@@ -167,7 +200,8 @@ def main(argv=None):
     from .utils.profiling import trace
     with trace(args.profile):
         state = run(model, state, write_output=not args.no_output,
-                    devices=args.devices, halo=args.halo)
+                    devices=args.devices, halo=args.halo,
+                    resume_halo=resume_halo)
     if args.checkpoint_every:
         import jax
         if jax.process_index() == 0:

@@ -234,6 +234,8 @@ class LoweredModel:
     amp_value: jnp.ndarray = None   # (A, L)
     amp_n: jnp.ndarray = None       # (A,) int32 true knots
     velo0: jnp.ndarray = None       # (3, N) initial velocity
+    vol_e: jnp.ndarray = None       # (E,) initial element volume (energy
+    #                                 diagnostics; HAKAI_j.jl:183-197)
 
     # ---- contact ----
     pairs: Tuple[ContactPairArrays, ...] = ()
@@ -938,6 +940,8 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         amp_value=jnp.asarray(amp_value, kdtype),
         amp_n=jnp.asarray(amp_n, jnp.int32),
         velo0=jnp.asarray(velo0, kdtype),
+        vol_e=jnp.asarray(np.concatenate(
+            [volume, np.zeros(E - nE)]), dtype),
         pairs=pairs,
         plan_pos=plan_pos,
         plan_asm=plan_asm,

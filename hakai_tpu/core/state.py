@@ -37,6 +37,10 @@ class SimState:
     triax: jnp.ndarray        # (8, E) stress triaxiality
     element_flag: jnp.ndarray  # (E,) bool — alive mask (padding = False)
     contact_force: jnp.ndarray  # (3, N) last contact force (diagnostics/VTK)
+    work: jnp.ndarray         # (2,) cumulative [W_ext+constraint, W_int];
+    #   accumulated per step only when config.energy_check (zeros otherwise
+    #   — the dataclass field is unconditional so checkpoints/pytree specs
+    #   stay uniform; see utils.metrics.energy_metrics for the identity)
 
     def replace(self, **kw) -> "SimState":
         return dataclasses.replace(self, **kw)
@@ -69,4 +73,5 @@ def init_state(model: LoweredModel) -> SimState:
         triax=jnp.zeros((8, E), edt),
         element_flag=model.elem_exists,
         contact_force=zeros3N,
+        work=jnp.zeros((2,), kdt),
     )

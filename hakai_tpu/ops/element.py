@@ -503,7 +503,11 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     # (cal_node_stress_strain, HAKAI_j.jl:3436), and the erosion zeroing
     # (HAKAI_j.jl:750-755) commutes with the mean.  mean(sum_t de) ==
     # sum_t mean(de) exactly (x0.125 is an exact scaling), so accumulating
-    # the mean is the same math with 8x less state traffic.
+    # the mean is the same math with 8x less state traffic.  NB the
+    # *rounding order* differs from per-GP accumulation (the mean rounds
+    # once per step), so long-run strain output can drift from a bitwise
+    # reference dump at ulp level — same values in real arithmetic, and
+    # strain is write-only diagnostic state (oracle parity tests pass).
     new_strain = [strain[c] + 0.125 * de[c].sum(axis=0) for c in range(6)]
 
     # Measured negative result (round 3): computing triaxiality here "for

@@ -74,6 +74,7 @@ class HaloModel:
     lam_e: jnp.ndarray = None          # (S, El)
     has_plastic_e: jnp.ndarray = None  # (S, El)
     yield0_e: jnp.ndarray = None       # (S, El)
+    vol_e: jnp.ndarray = None          # (S, El) initial element volume
     diag_M: jnp.ndarray = None         # (S, No) owned nodal mass
     coord: jnp.ndarray = None          # (S, 3, No) owned coordinates
     node_exists: jnp.ndarray = None    # (S, No)
@@ -109,6 +110,9 @@ class HaloState:
     yield_s: jnp.ndarray
     triax: jnp.ndarray
     element_flag: jnp.ndarray  # (S, El)
+    work: jnp.ndarray       # (S, 2) per-shard partial [W_ext, W_int] sums
+    #   (owned rows only — disjoint over shards, so the global accumulator
+    #   is the shard sum; see solver.explicit._integrate)
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -179,12 +183,14 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
     elem_gid = np.full((S, El), -1, np.int64)
     alive0 = np.zeros((S, El), bool)
     mat_id = np.zeros((S, El), np.int64)
-    fields = {k: np.zeros((S, El)) for k in ("G_e", "lam_e", "yield0_e")}
+    fields = {k: np.zeros((S, El))
+              for k in ("G_e", "lam_e", "yield0_e", "vol_e")}
     hasp = np.zeros((S, El), bool)
     g_mat = np.asarray(model.mat_id)
     g_G = np.asarray(model.G_e)
     g_lam = np.asarray(model.lam_e)
     g_y0 = np.asarray(model.yield0_e)
+    g_vol = np.asarray(model.vol_e)
     for d, ids in enumerate(shard_elems):
         k = len(ids)
         if k == 0:
@@ -199,6 +205,7 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
         fields["G_e"][d, :k] = g_G[ids]
         fields["lam_e"][d, :k] = g_lam[ids]
         fields["yield0_e"][d, :k] = g_y0[ids]
+        fields["vol_e"][d, :k] = g_vol[ids]
         hasp[d, :k] = np.asarray(model.has_plastic_e)[ids]
 
     def shard_nodes(a):     # (..., N) -> (S, ..., No)
@@ -320,6 +327,7 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
         lam_e=jnp.asarray(fields["lam_e"], model.edtype),
         has_plastic_e=jnp.asarray(hasp),
         yield0_e=jnp.asarray(fields["yield0_e"], model.edtype),
+        vol_e=jnp.asarray(fields["vol_e"], model.edtype),
         diag_M=jnp.asarray(shard_nodes(np.asarray(model.diag_M)), dtype),
         coord=jnp.asarray(shard_nodes(np.asarray(model.coord)), dtype),
         node_exists=jnp.asarray(shard_nodes(np.asarray(model.node_exists))),
@@ -349,6 +357,7 @@ def init_halo_state(hm: HaloModel) -> HaloState:
         yield_s=jnp.broadcast_to(hm.yield0_e[:, None], (S, 8, El)).astype(edt),
         triax=jnp.zeros((S, 8, El), edt),
         element_flag=hm.elem_alive0,
+        work=jnp.zeros((S, 2), dt),
     )
 
 
@@ -381,6 +390,11 @@ def partition_state(hm: HaloModel, state: SimState) -> HaloState:
         yield_s=split_elems(state.yield_s).astype(edt),
         triax=split_elems(state.triax).astype(edt),
         element_flag=split_elems(np.asarray(state.element_flag), fill=False),
+        # cumulative work is a global scalar pair: park it on shard 0 so the
+        # shard-sum (gather_state / halo_step_metrics) reproduces it
+        work=jnp.asarray(np.concatenate(
+            [np.asarray(state.work, hm.base.dtype)[None],
+             np.zeros((S - 1, 2), hm.base.dtype)])),
     )
 
 
@@ -460,14 +474,23 @@ def _halo_integrate(hm: HaloModel, s: HaloState, flag_g=None):
 
     a1 = hm.diag_M / dt**2
     a2 = hm.diag_M * base.config.damping_C / (2.0 * dt)
-    disp_new = (external - s.Q + a1 * (2.0 * s.disp - s.disp_pre)
-                + a2 * s.disp_pre) / (a1 + a2)
+    numer = (external - s.Q + a1 * (2.0 * s.disp - s.disp_pre)
+             + a2 * s.disp_pre)
+    disp_new = numer / (a1 + a2)
     ampv = amplitude_values(base, ct)
     fac = jnp.where(hm.bc_amp >= 0, ampv[jnp.clip(hm.bc_amp, 0, None)], 1.0)
     disp_new = jnp.where(hm.bc_mask, hm.bc_value * fac, disp_new)
     disp_new = jnp.where(hm.node_exists, disp_new, 0.0)
     velo = (disp_new - s.disp) / dt
-    return t, disp_new, velo
+    dwork = None
+    if base.config.energy_check:
+        # per-shard partial sums over OWNED rows (disjoint across shards);
+        # exact-identity derivation in solver.explicit._integrate
+        du_mid = 0.5 * (disp_new - s.disp_pre)
+        f_c = jnp.where(hm.bc_mask, (a1 + a2) * disp_new - numer, 0.0)
+        dwork = jnp.stack([jnp.sum((external + f_c) * du_mid),
+                           jnp.sum(s.Q * du_mid)])
+    return t, disp_new, velo, dwork
 
 
 def _local_fast_model(hm: HaloModel) -> LoweredModel:
@@ -497,7 +520,7 @@ def _halo_step_fast(hm: HaloModel, lm: LoweredModel, s: HaloState,
     H = hm.H
     from ..ops.element import element_kinematics
 
-    t, disp_new, velo = _halo_integrate(hm, s, flag_g)
+    t, disp_new, velo, dwork = _halo_integrate(hm, s, flag_g)
     disp_w = _exchange_window(disp_new, H)               # (3, W)
     disp_e = gather_disp_e(lm, disp_w)                   # (3, 8, El)
     pos_r, du_r = element_kinematics(hm.coord_e, disp_e, disp_e_prev,
@@ -524,7 +547,8 @@ def _halo_step_fast(hm: HaloModel, lm: LoweredModel, s: HaloState,
     if base.fracture_enabled:
         flag, delete = erosion_delete_mask(lm, eq, triax, flag)
     new = s.replace(t=t, disp=disp_new, disp_pre=s.disp, velo=velo, Q=Q,
-                    eq_ps=eq, yield_s=y, triax=triax, element_flag=flag)
+                    eq_ps=eq, yield_s=y, triax=triax, element_flag=flag,
+                    work=s.work if dwork is None else s.work + dwork)
     return new, disp_e, tuple(s_c), tuple(e_c), flag
 
 
@@ -541,7 +565,7 @@ def _halo_step_fast_packed(hm: HaloModel, lm: LoweredModel, s: HaloState,
     H = hm.H
     El = lm.E
 
-    t, disp_new, velo = _halo_integrate(hm, s, flag_g)
+    t, disp_new, velo, dwork = _halo_integrate(hm, s, flag_g)
     disp_w = _exchange_window(disp_new, H)               # (3, W)
     disp_e = gather_disp_e(lm, disp_w)                   # (3, 8, El)
     from ..ops.element_pallas import packed_element_step
@@ -552,14 +576,15 @@ def _halo_step_fast_packed(hm: HaloModel, lm: LoweredModel, s: HaloState,
     if triax is None:
         triax = s.triax                  # chunk-exit triax (see step_fast)
     new = s.replace(t=t, disp=disp_new, disp_pre=s.disp, velo=velo, Q=Q,
-                    triax=triax, element_flag=flag)
+                    triax=triax, element_flag=flag,
+                    work=s.work if dwork is None else s.work + dwork)
     return new, disp_e, P_new, flag
 
 
 def _halo_step(hm: HaloModel, s: HaloState, flag_g=None) -> HaloState:
     base = hm.base
     H = hm.H
-    t, disp_new, velo = _halo_integrate(hm, s, flag_g)
+    t, disp_new, velo, dwork = _halo_integrate(hm, s, flag_g)
 
     d_disp = disp_new - s.disp
     position = hm.coord + disp_new
@@ -588,7 +613,8 @@ def _halo_step(hm: HaloModel, s: HaloState, flag_g=None) -> HaloState:
 
     return s.replace(t=t, disp=disp_new, disp_pre=s.disp, velo=velo, Q=Q,
                      stress=stress, strain=strain, eq_ps=res.eq_ps,
-                     yield_s=res.yield_s, triax=triax, element_flag=flag)
+                     yield_s=res.yield_s, triax=triax, element_flag=flag,
+                     work=s.work if dwork is None else s.work + dwork)
 
 
 def _to_global(tree, spec_tree, mesh: Mesh):
@@ -613,11 +639,10 @@ def _to_global(tree, spec_tree, mesh: Mesh):
     return jax.tree_util.tree_map(conv, tree, spec_tree)
 
 
-def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
-    S = hm.n_shards
-    if mesh.devices.size != S:
-        raise ValueError("mesh size must equal n_shards")
-
+def _halo_specs(hm: HaloModel):
+    """(model_specs, state_specs) PartitionSpec trees for shard_map over
+    'dp': shard-major leaves lead with 'dp', plans shard over their stacked
+    leading axis, _REPL_FIELDS and the base model stay replicated."""
     def spec_of(name, v):
         if name in _REPL_FIELDS:
             return P(*([None] * np.ndim(v)))
@@ -642,29 +667,43 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
     sspec = HaloState(
         t=P(), **{f.name: spec_of("", getattr(init_halo_state(hm), f.name))
                   for f in dataclasses.fields(HaloState) if f.name != "t"})
+    return mspec, sspec
+
+
+def _unlead(m: HaloModel, st: HaloState):
+    """Strip the leading shard axis (size 1 per device) inside shard_map;
+    replicated fields keep their full shape, plans go device-local."""
+    def ul(x):
+        return x[0] if hasattr(x, "shape") and x.ndim >= 1 else x
+    mm = dataclasses.replace(
+        m,
+        h_plan_pos=(plan_local(m.h_plan_pos)
+                    if m.h_plan_pos is not None else None),
+        h_plan_asm=(plan_local(m.h_plan_asm)
+                    if m.h_plan_asm is not None else None),
+        h_plan_asm2=(plan_local(m.h_plan_asm2)
+                     if m.h_plan_asm2 is not None else None),
+        **{f.name: ul(getattr(m, f.name))
+           for f in dataclasses.fields(m)
+           if f.name not in ("base", "h_plan_pos", "h_plan_asm",
+                             "h_plan_asm2")
+           and f.name not in _REPL_FIELDS
+           and not f.metadata.get("static")})
+    stt = HaloState(t=st.t, **{f.name: ul(getattr(st, f.name))
+                               for f in dataclasses.fields(HaloState)
+                               if f.name != "t"})
+    return mm, stt
+
+
+def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
+    S = hm.n_shards
+    if mesh.devices.size != S:
+        raise ValueError("mesh size must equal n_shards")
+
+    mspec, sspec = _halo_specs(hm)
 
     def body(m, st):
-        # strip the leading shard axis (size 1 per device) inside shard_map;
-        # replicated fields keep their full shape
-        def unlead(x):
-            return x[0] if hasattr(x, "shape") and x.ndim >= 1 else x
-        mm = dataclasses.replace(
-            m,
-            h_plan_pos=(plan_local(m.h_plan_pos)
-                        if m.h_plan_pos is not None else None),
-            h_plan_asm=(plan_local(m.h_plan_asm)
-                        if m.h_plan_asm is not None else None),
-            h_plan_asm2=(plan_local(m.h_plan_asm2)
-                         if m.h_plan_asm2 is not None else None),
-            **{f.name: unlead(getattr(m, f.name))
-               for f in dataclasses.fields(m)
-               if f.name not in ("base", "h_plan_pos", "h_plan_asm",
-                                 "h_plan_asm2")
-               and f.name not in _REPL_FIELDS
-               and not f.metadata.get("static")})
-        stt = HaloState(t=st.t, **{f.name: unlead(getattr(st, f.name))
-                                   for f in dataclasses.fields(HaloState)
-                                   if f.name != "t"})
+        mm, stt = _unlead(m, st)
         # contact life mask: constant across the chunk on erosion-free decks
         flag_g0 = None
         if mm.base.pairs and not mm.base.fracture_enabled:
@@ -800,4 +839,145 @@ def gather_state(hm: HaloModel, s: HaloState) -> SimState:
         triax=jnp.asarray(join_elems(s.triax)),
         element_flag=jnp.asarray(join_elems(s.element_flag, fill=False)),
         contact_force=jnp.zeros((3, base.N), base.dtype),
+        work=jnp.asarray(np.asarray(s.work).sum(axis=0)),
     )
+
+
+def join_nodes(a):
+    """(S, ..., No) shard-major node blocks -> (..., N) host array (the node
+    partition is contiguous, so this is a cheap moveaxis+reshape)."""
+    a = np.asarray(a)
+    return np.moveaxis(a, 0, -2).reshape(a.shape[1:-1] + (-1,))
+
+
+def join_elem_field(hm: HaloModel, a, fill=0.0):
+    """(S, ..., El) shard-major element field -> (..., E) global order."""
+    a = np.asarray(a)
+    gid = np.asarray(hm.elem_gid)
+    valid = gid >= 0
+    out = np.full(a.shape[1:-1] + (hm.base.E,), fill, a.dtype)
+    src = np.moveaxis(a, 0, -2)
+    out[..., gid[valid]] = src[..., valid]
+    return out
+
+
+def make_halo_frame(hm: HaloModel, mesh: Mesh):
+    """Device-side frame view for pod-scale output: the node-averaged output
+    fields (cal_node_stress_strain, HAKAI_j.jl:3408-3486) are computed PER
+    SHARD — element GP means scatter into the local window, ghost rows
+    return to their owners over the ring (same exchange as the force
+    assembly), and the incidence count divides on owned rows — so the
+    Gauss-point element state (the dominant term: (6,8,El) stress and
+    friends, ~27 GB host RSS at 10M elements via gather_state) never leaves
+    the device.  The host receives only (S,·,No) node blocks and the (S,El)
+    life mask.
+
+    Returns ``frame(s) -> (disp, velo, NodeData, element_flag)`` as host
+    numpy arrays in global order.  Deleted elements keep their zeroed state
+    and still count in the divisor, exactly as the reference (and the
+    single-chip solver.output.node_fields) does; padding elements are
+    excluded.  Field values match the single-chip path to summation-order
+    roundoff (the per-shard scatter adds in a different order than the
+    fixed-order incidence sum)."""
+    from ..solver.output import NodeData
+
+    mspec, sspec = _halo_specs(hm)
+    edt = hm.base.edtype
+
+    def body(m, st):
+        mm, stt = _unlead(m, st)
+        El = mm.El
+        W = mm.No + 2 * mm.H
+        es = stt.stress.mean(axis=1)                    # (6, El)
+        ep = stt.eq_ps.mean(axis=0)[None]               # (1, El)
+        et = stt.triax.mean(axis=0)[None]
+        alive0 = mm.elem_alive0                          # (El,) excludes pad
+        val = jnp.concatenate([es, stt.strain, ep, et], axis=0)  # (14, El)
+        src = jnp.concatenate(
+            [jnp.where(alive0[None], val, 0.0),
+             jnp.where(alive0, 1.0, 0.0)[None].astype(edt)], axis=0)
+        acc = jnp.zeros((15, W), edt).at[:, mm.elem_w].add(
+            jnp.broadcast_to(src[:, None, :], (15, 8, El)))
+        own = _return_ghosts(acc, mm.H)                 # (15, No)
+        cnt = jnp.maximum(own[14], 1.0)
+        nf = own[:14] / cnt
+        ns = nf[:6]
+        sx, sy, sz, txy, tyz, txz = (ns[i] for i in range(6))
+        mises = jnp.sqrt(0.5 * ((sx - sy)**2 + (sy - sz)**2 + (sx - sz)**2
+                                + 6.0 * (txy**2 + tyz**2 + txz**2)))
+        nd = NodeData(ns, nf[6:12], nf[12], mises, nf[13])
+        lead = lambda x: x[None]
+        return (lead(stt.disp), lead(stt.velo),
+                jax.tree_util.tree_map(lead, nd), lead(stt.element_flag))
+
+    ospec = (P("dp"), P("dp"),
+             jax.tree_util.tree_map(lambda _: P("dp"),
+                                    NodeData(*([0.0] * 5))), P("dp"))
+    fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(mspec, sspec),
+                               out_specs=ospec, check_vma=False))
+
+    def frame(s: HaloState):
+        hm_in = (_to_global(hm, mspec, mesh) if jax.process_count() > 1
+                 else hm)
+        s_in = (_to_global(s, sspec, mesh) if jax.process_count() > 1
+                else s)
+        disp, velo, nd, flag = fn(hm_in, s_in)
+        if jax.process_count() > 1:
+            repl = jax.jit(lambda x: x,
+                           out_shardings=jax.sharding.NamedSharding(
+                               mesh, P()))
+            disp, velo, nd, flag = jax.tree_util.tree_map(
+                repl, (disp, velo, nd, flag))
+        nd_host = NodeData(*[join_nodes(x) for x in nd])
+        return (join_nodes(disp), join_nodes(velo), nd_host,
+                join_elem_field(hm, flag, fill=False))
+    return frame
+
+
+# ---------------------------------------------------------------------------
+# sharded checkpoint: HaloState round-trips shard-major, skipping the
+# gather_state reassembly (which materializes the full single-chip element
+# state on host — the pod-scale bottleneck).  The reference has no
+# checkpointing at all (SURVEY.md §5).
+# ---------------------------------------------------------------------------
+
+def save_halo_checkpoint(path: str, hm: HaloModel, s: HaloState) -> str:
+    """Write a shard-major halo checkpoint (single-process runs; a
+    multi-process run must checkpoint through gather_state for now)."""
+    leaves = {f.name: np.asarray(getattr(s, f.name))
+              for f in dataclasses.fields(s)}
+    leaves["halo_format"] = np.array([hm.n_shards, hm.No, hm.El], np.int64)
+    np.savez_compressed(path, **leaves)
+    return path
+
+
+def is_halo_checkpoint(path: str) -> bool:
+    with np.load(path) as data:
+        return "halo_format" in data
+
+
+def load_halo_checkpoint(path: str, hm: HaloModel) -> HaloState:
+    """Load a shard-major checkpoint; the partition geometry (shards, owned
+    rows, elements per shard) must match the current partition()."""
+    data = np.load(path)
+    S, No, El = (int(x) for x in data["halo_format"])
+    if (S, No, El) != (hm.n_shards, hm.No, hm.El):
+        raise ValueError(
+            f"halo checkpoint partition (S={S}, No={No}, El={El}) does not "
+            f"match the current partition (S={hm.n_shards}, No={hm.No}, "
+            f"El={hm.El}); re-partition with the same device count and "
+            "padding, or resume through a single-chip checkpoint")
+    like = init_halo_state(hm)
+    kw = {}
+    for f in dataclasses.fields(like):
+        ref = getattr(like, f.name)
+        if f.name == "work" and f.name not in data:
+            kw[f.name] = jnp.zeros_like(ref)
+            continue
+        arr = data[f.name]
+        if arr.shape != np.shape(ref):
+            raise ValueError(f"halo checkpoint field {f.name} has shape "
+                             f"{arr.shape}, partition expects "
+                             f"{np.shape(ref)}")
+        kw[f.name] = jnp.asarray(arr, np.asarray(ref).dtype)
+    return HaloState(**kw)

@@ -138,7 +138,7 @@ def model_specs(model: LoweredModel) -> LoweredModel:
 
 _STATE_RANKS = dict(t=0, disp=2, disp_pre=2, velo=2, Q=2, stress=3, strain=2,
                     eq_ps=2, yield_s=2, triax=2, element_flag=1,
-                    contact_force=2)
+                    contact_force=2, work=1)
 
 
 def state_specs() -> SimState:
@@ -182,13 +182,23 @@ def _sharded_integrate(lm: LoweredModel, state: SimState, flag_g=None):
 
     a1 = lm.diag_M / dt**2
     a2 = lm.diag_M * lm.config.damping_C / (2.0 * dt)
-    disp_new = (external - state.Q
-                + a1 * (2.0 * state.disp - state.disp_pre)
-                + a2 * state.disp_pre) / (a1 + a2)
+    numer = (external - state.Q
+             + a1 * (2.0 * state.disp - state.disp_pre)
+             + a2 * state.disp_pre)
+    disp_new = numer / (a1 + a2)
     disp_new = apply_bc(lm, disp_new, current_time)
     disp_new = jnp.where(lm.node_exists, disp_new, 0.0)
     velo = (disp_new - state.disp) / dt
-    return t, disp_new, velo, cforce
+    dwork = None
+    if lm.config.energy_check:
+        # node state is replicated over 'dp': every shard computes the same
+        # sums, so the accumulator stays replicated (see explicit._integrate
+        # for the exact-identity derivation)
+        du_mid = 0.5 * (disp_new - state.disp_pre)
+        f_c = jnp.where(lm.bcd_mask, (a1 + a2) * disp_new - numer, 0.0)
+        dwork = jnp.stack([jnp.sum((external + f_c) * du_mid),
+                           jnp.sum(state.Q * du_mid)])
+    return t, disp_new, velo, cforce, dwork
 
 
 def _sharded_assemble(lm: LoweredModel, Qe: jnp.ndarray) -> jnp.ndarray:
@@ -215,7 +225,7 @@ def _sharded_step(lm: LoweredModel, state: SimState, flag_g=None) -> SimState:
     """One generic time step on local shards; runs inside shard_map.
     ``lm`` is the device-local model view (element fields are local
     slices, plans already through plan_local)."""
-    t, disp_new, velo, cforce = _sharded_integrate(lm, state, flag_g)
+    t, disp_new, velo, cforce, dwork = _sharded_integrate(lm, state, flag_g)
     d_disp = disp_new - state.disp
     position = lm.coord + disp_new
 
@@ -236,6 +246,7 @@ def _sharded_step(lm: LoweredModel, state: SimState, flag_g=None) -> SimState:
         t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
         stress=stress, strain=strain, eq_ps=res.eq_ps, yield_s=res.yield_s,
         triax=triax, element_flag=flag, contact_force=cforce,
+        work=state.work if dwork is None else state.work + dwork,
     )
 
 
@@ -251,7 +262,7 @@ def _sharded_step_fast(lm: LoweredModel, state: SimState, disp_e_prev,
     from ..ops.element import element_kinematics
 
     edt = lm.edtype
-    t, disp_new, velo, cforce = _sharded_integrate(lm, state, flag_g)
+    t, disp_new, velo, cforce, dwork = _sharded_integrate(lm, state, flag_g)
     disp_e = gather_disp_e(lm, disp_new)
     pos_r, du_r = element_kinematics(lm.coord_e, disp_e, disp_e_prev,
                                      edt, lm.E)
@@ -278,7 +289,8 @@ def _sharded_step_fast(lm: LoweredModel, state: SimState, disp_e_prev,
     new_state = state.replace(
         t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
         eq_ps=eq, yield_s=y, triax=triax, element_flag=flag,
-        contact_force=cforce)
+        contact_force=cforce,
+        work=state.work if dwork is None else state.work + dwork)
     return new_state, disp_e, tuple(s_c), tuple(e_c)
 
 

@@ -77,7 +77,9 @@ def apply_bc(model: LoweredModel, disp_new: jnp.ndarray, current_time):
 
 def _integrate(model: LoweredModel, state: SimState):
     """Contact + central difference + BCs (HAKAI_j.jl:497-653).
-    Returns (t, disp_new, velo, contact_force)."""
+    Returns (t, disp_new, velo, contact_force, dwork) where dwork is the
+    per-step [dW_ext, dW_int] increment pair (None unless
+    config.energy_check)."""
     dt = jnp.asarray(model.dt, model.dtype)
     t = state.t + 1
     current_time = t.astype(model.dtype) * dt
@@ -91,14 +93,30 @@ def _integrate(model: LoweredModel, state: SimState):
     # central difference (HAKAI_j.jl:562-567)
     a1 = model.diag_M / dt**2                       # (N,)
     a2 = model.diag_M * model.config.damping_C / (2.0 * dt)
-    disp_new = (external - state.Q
-                + a1 * (2.0 * state.disp - state.disp_pre)
-                + a2 * state.disp_pre) / (a1 + a2)
+    numer = (external - state.Q
+             + a1 * (2.0 * state.disp - state.disp_pre)
+             + a2 * state.disp_pre)
+    disp_new = numer / (a1 + a2)
 
     disp_new = apply_bc(model, disp_new, current_time)
     disp_new = jnp.where(model.node_exists, disp_new, 0.0)
     velo = (disp_new - state.disp) / dt
-    return t, disp_new, velo, cforce
+    dwork = None
+    if model.config.energy_check:
+        # Discrete energy balance of the central-difference update: with the
+        # midpoint increment du_mid = (u_new - u_prev)/2 the identity
+        #   dKE = (F_ext + F_c - Q) . du_mid
+        # holds EXACTLY in real arithmetic (dKE telescopes the half-step
+        # kinetic energies 0.5*M*((u_new-u)/dt)^2), where F_c is the
+        # constraint force realizing the prescribed motion at BC dofs.
+        # The accumulated residual KE - KE0 - W_ext + W_int is therefore
+        # pure roundoff — a direct detector of roundoff-energy injection.
+        du_mid = 0.5 * (disp_new - state.disp_pre)
+        f_c = jnp.where(model.bcd_mask, (a1 + a2) * disp_new - numer, 0.0)
+        dw_ext = jnp.sum((external + f_c) * du_mid)
+        dw_int = jnp.sum(state.Q * du_mid)
+        dwork = jnp.stack([dw_ext, dw_int])
+    return t, disp_new, velo, cforce, dwork
 
 
 def _finish(model: LoweredModel, state: SimState, t, disp_new, velo, cforce,
@@ -118,8 +136,12 @@ def _finish(model: LoweredModel, state: SimState, t, disp_new, velo, cforce,
     )
 
 
+def _acc_work(state: SimState, dwork):
+    return state.work if dwork is None else state.work + dwork
+
+
 def step(model: LoweredModel, state: SimState) -> SimState:
-    t, disp_new, velo, cforce = _integrate(model, state)
+    t, disp_new, velo, cforce, dwork = _integrate(model, state)
     # element/contact math runs in edtype (f32 in mixed mode); the kinematic
     # difference d_disp is taken in the (possibly wider) nodal dtype FIRST so
     # no cancellation noise enters the strain increments
@@ -128,7 +150,8 @@ def step(model: LoweredModel, state: SimState) -> SimState:
                          (disp_new - state.disp).astype(edt),
                          state.stress, state.strain, state.eq_ps,
                          state.yield_s, state.element_flag)
-    return _finish(model, state, t, disp_new, velo, cforce, res)
+    out = _finish(model, state, t, disp_new, velo, cforce, res)
+    return out.replace(work=_acc_work(state, dwork))
 
 
 def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
@@ -151,7 +174,7 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
     from ..ops.erosion import erosion_delete_mask
 
     edt = model.edtype
-    t, disp_new, velo, cforce = _integrate(model, state)
+    t, disp_new, velo, cforce, dwork = _integrate(model, state)
     disp_e = gather_disp_e(model, disp_new)
     pos_r, du_r = element_kinematics(model.coord_e, disp_e, disp_e_prev,
                                      edt, model.E)
@@ -186,7 +209,7 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
     new_state = state.replace(
         t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
         eq_ps=eq, yield_s=y, triax=triax, element_flag=flag,
-        contact_force=cforce)
+        contact_force=cforce, work=_acc_work(state, dwork))
     return new_state, disp_e, tuple(s_c), tuple(e_c)
 
 
@@ -199,7 +222,7 @@ def step_fast_packed(model: LoweredModel, state: SimState, disp_e_prev, P):
     from ..ops.element_pallas import packed_element_step
 
     E = model.E
-    t, disp_new, velo, cforce = _integrate(model, state)
+    t, disp_new, velo, cforce, dwork = _integrate(model, state)
     disp_e = gather_disp_e(model, disp_new)
     P_new, qe, triax, flag = packed_element_step(
         model, model.coord_e, disp_e, disp_e_prev, P, state.element_flag)
@@ -209,7 +232,8 @@ def step_fast_packed(model: LoweredModel, state: SimState, disp_e_prev, P):
         triax = state.triax              # chunk-exit triax (see step_fast)
     new_state = state.replace(
         t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
-        triax=triax, element_flag=flag, contact_force=cforce)
+        triax=triax, element_flag=flag, contact_force=cforce,
+        work=_acc_work(state, dwork))
     return new_state, disp_e, P_new
 
 
@@ -295,15 +319,15 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
                              unroll=unroll)
 
 
-def _deck_order_frame(model: LoweredModel, state: SimState, nd):
+def _deck_order_frame(model: LoweredModel, disp, velo, flag, nd):
     """Map internal (possibly RCM-renumbered) arrays back to the deck's
     original node/element order for output."""
     nN, nE = model.n_node, model.n_element
     coord = np.asarray(model.coord)
     elem = np.asarray(model.elem)
-    flag = np.asarray(state.element_flag)
-    disp = np.asarray(state.disp)
-    velo = np.asarray(state.velo)
+    flag = np.asarray(flag)
+    disp = np.asarray(disp)
+    velo = np.asarray(velo)
     nd_np = type(nd)(*[np.asarray(x) for x in nd])
     if model.node_new2old is None:
         return coord, elem, flag, disp, velo, nd_np
@@ -328,7 +352,8 @@ def _deck_order_frame(model: LoweredModel, state: SimState, nd):
 
 def run(model: LoweredModel, state: SimState | None = None,
         verbose: bool = True, write_output: bool = True,
-        devices: int | None = None, halo: int | None = None):
+        devices: int | None = None, halo: int | None = None,
+        resume_halo: str | None = None):
     """Whole simulation: time_num steps, 100 VTK frames (HAKAI_j.jl:471-480).
 
     ``devices`` > 1 runs element-sharded over a ``jax.sharding.Mesh`` of
@@ -356,18 +381,25 @@ def run(model: LoweredModel, state: SimState | None = None,
     verbose = verbose and proc0
 
     view = None                 # sharded-state -> SimState for host output
+    frame_data = None           # state -> (disp, velo, flag, NodeData) host
+    save_ckpt = None            # (path, state) -> writes a checkpoint
     if halo is not None and halo > 1:
         from functools import partial as _partial
 
         from ..parallel.halo import (gather_state, init_halo_state,
+                                     load_halo_checkpoint, make_halo_frame,
                                      make_halo_step, partition,
-                                     partition_state)
+                                     partition_state, save_halo_checkpoint)
         from ..parallel.sharding import make_mesh
         hm = partition(model, halo)
         mesh = make_mesh(halo)
-        # checkpoint resume: scatter the restored SimState into shards
-        state = (partition_state(hm, state) if int(state.t) > 0
-                 else init_halo_state(hm))
+        if resume_halo is not None:
+            # shard-major checkpoint resume (no single-chip round trip)
+            state = load_halo_checkpoint(resume_halo, hm)
+        else:
+            # checkpoint resume: scatter the restored SimState into shards
+            state = (partition_state(hm, state) if int(state.t) > 0
+                     else init_halo_state(hm))
         steppers = {}
 
         def step_chunk(s, n):
@@ -376,6 +408,20 @@ def run(model: LoweredModel, state: SimState | None = None,
             return steppers[n](s)
 
         view = _partial(gather_state, hm)
+        # pod-scale frames/checkpoints never materialize the gathered
+        # element state on host: node-averaged fields are computed on
+        # device per shard, checkpoints round-trip shard-major
+        _frame = make_halo_frame(hm, mesh)
+
+        def frame_data(s):
+            disp, velo, nd, flag = _frame(s)
+            return disp, velo, flag, nd
+
+        if jax.process_count() == 1:
+            def save_ckpt(path, s):
+                save_halo_checkpoint(path, hm, s)
+        # multi-process runs keep the gather_state checkpoint path (leaves
+        # are not process-addressable; gather_state replicates first)
     elif devices is not None and devices > 1:
         from ..parallel.sharding import (make_mesh, make_sharded_step,
                                          shard_arrays)
@@ -401,11 +447,21 @@ def run(model: LoweredModel, state: SimState | None = None,
         def view(s):
             return s
 
+    if frame_data is None:
+        def frame_data(s):
+            sv = view(s)
+            nd = node_fields(model, sv.stress, sv.strain, sv.eq_ps, sv.triax)
+            return sv.disp, sv.velo, sv.element_flag, nd
+
+    if save_ckpt is None:
+        def save_ckpt(path, s):
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(path, view(s))
+
     frame_times = []
     if write_output:
-        sv = view(state)
-        nd = node_fields(model, sv.stress, sv.strain, sv.eq_ps, sv.triax)
-        co, el, fl, di, ve, nd_o = _deck_order_frame(model, sv, nd)
+        di_, ve_, fl_, nd = frame_data(state)
+        co, el, fl, di, ve, nd_o = _deck_order_frame(model, di_, ve_, fl_, nd)
         if proc0:
             write_vtk(0, cfg.out_dir, co, el, fl, di, ve, nd_o,
                       model.n_node, model.n_element)
@@ -423,6 +479,18 @@ def run(model: LoweredModel, state: SimState | None = None,
         done += n
         if cfg.check_nan and not bool(jnp.isfinite(state.disp).all()):
             raise FloatingPointError(f"NaN/Inf in displacement at step {done}")
+        if cfg.energy_check and cfg.energy_abort_rel > 0:
+            from ..utils.metrics import energy_guard, halo_step_metrics
+            if halo is not None and halo > 1:
+                rel = float(halo_step_metrics(hm, state)["energy_rel_error"])
+            else:
+                rel = float(energy_guard(model, state))
+            if rel > cfg.energy_abort_rel:
+                raise FloatingPointError(
+                    f"energy balance diverged at step {done}: "
+                    f"|KE - KE0 - W_ext + W_int| = {rel:.3e} of the energy "
+                    f"scale (> {cfg.energy_abort_rel:.3e}) — roundoff energy "
+                    "injection; re-run with --precision f64 or mixed")
         alive = int(jnp.sum(state.element_flag))
         if verbose and alive != alive_prev:
             print(f"Element deleted:{alive}/{model.n_element}")
@@ -439,19 +507,17 @@ def run(model: LoweredModel, state: SimState | None = None,
             else:
                 metrics.record(model, view(state), done, _time.time() - t0)
         if write_output and done % d_out == 0 and i_out <= n_frames:
-            sv = view(state)
-            nd = node_fields(model, sv.stress, sv.strain, sv.eq_ps, sv.triax)
-            co, el, fl, di, ve, nd_o = _deck_order_frame(model, sv, nd)
+            di_, ve_, fl_, nd = frame_data(state)
+            co, el, fl, di, ve, nd_o = _deck_order_frame(model, di_, ve_,
+                                                         fl_, nd)
             if proc0:
                 write_vtk(i_out, cfg.out_dir, co, el, fl, di, ve, nd_o,
                           model.n_node, model.n_element)
             frame_times.append((i_out, done * model.dt))
             if (proc0 and cfg.checkpoint_every
                     and i_out % cfg.checkpoint_every == 0):
-                from ..utils.checkpoint import save_checkpoint
-                save_checkpoint(cfg.checkpoint_path
-                                or f"{cfg.out_dir}/ckpt_{i_out:03d}.npz",
-                                sv)
+                save_ckpt(cfg.checkpoint_path
+                          or f"{cfg.out_dir}/ckpt_{i_out:03d}.npz", state)
             i_out += 1
     metrics.close()
     if write_output and frame_times and proc0:

@@ -4,6 +4,13 @@ The reference has none (*Restart is parsed-and-ignored; SURVEY.md §5).  The
 full state pytree — displacements, velocity, Gauss-point stress/strain,
 plastic state, element flags, step counter — round-trips through one ``.npz``
 so a run can resume bit-exactly.
+
+Resume is bit-exact for same-format checkpoints.  Old-format checkpoints
+with per-Gauss-point strain are migrated by taking the GP mean — the
+migration itself is exact, but subsequent strain accumulation happens in a
+different rounding order than the old per-GP code would have used, so
+strain *output* after such a resume can differ from the old code at ulp
+level (strain is write-only diagnostic state; nothing else is affected).
 """
 from __future__ import annotations
 
@@ -27,6 +34,12 @@ def load_checkpoint(path: str, like: SimState) -> SimState:
     kw = {}
     for f in dataclasses.fields(like):
         ref = getattr(like, f.name)
+        if f.name == "work" and f.name not in data:
+            # pre-energy-check checkpoint: the cumulative work pair did not
+            # exist; resume with zeroed accumulators (the balance residual
+            # restarts from the resume point)
+            kw[f.name] = jax.numpy.zeros_like(ref)
+            continue
         arr = data[f.name]
         if (f.name == "strain" and arr.ndim == np.ndim(ref) + 1
                 and arr.shape[-2] == 8):

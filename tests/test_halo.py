@@ -347,3 +347,87 @@ def test_halo_packed_fracture_matches_single_device(monkeypatch):
                           np.asarray(ref.element_flag))
     np.testing.assert_allclose(np.asarray(got.disp), np.asarray(ref.disp),
                                rtol=3e-5, atol=5e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_halo_frame_matches_gathered_node_fields():
+    """make_halo_frame (device-side node averaging + ghost return, the
+    pod-scale output path) reproduces the gather_state + node_fields view:
+    disp/velo/flags bitwise, node-averaged fields to summation-order
+    roundoff."""
+    from hakai_tpu.parallel.halo import make_halo_frame
+    from hakai_tpu.pre.synthetic import bar_model
+    from hakai_tpu.solver.output import node_fields
+
+    m = bar_model(nx=8, ny=8, nz=64, d_time=1e-8, end_time=1.0)
+    lm = lower(m, SolverConfig(node_pad=64))
+    hm = partition(lm, 8)
+    mesh = make_mesh(8)
+    s = make_halo_step(hm, mesh, n_steps=100)(init_halo_state(hm))
+    di, ve, nd, fl = make_halo_frame(hm, mesh)(s)
+    sv = gather_state(hm, s)
+    nd_ref = node_fields(lm, sv.stress, sv.strain, sv.eq_ps, sv.triax)
+    np.testing.assert_array_equal(di, np.asarray(sv.disp))
+    np.testing.assert_array_equal(ve, np.asarray(sv.velo))
+    np.testing.assert_array_equal(fl, np.asarray(sv.element_flag))
+    for a, b, name in zip(nd, nd_ref,
+                          ["stress", "strain", "eq_ps", "mises", "triax"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-11, atol=1e-18, err_msg=name)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_halo_frame_with_fracture():
+    """Deleted elements keep counting in the node-average divisor (reference
+    semantics) on the device-side frame path too."""
+    from conftest import ref_deck
+    from hakai_tpu.io.inp import read_inp_file
+    from hakai_tpu.parallel.halo import make_halo_frame
+    from hakai_tpu.solver.output import node_fields
+
+    lm = lower(read_inp_file(ref_deck("bullet-impact.inp")),
+               SolverConfig(node_pad=64, elem_pad=16, renumber="always"))
+    hm = partition(lm, 8)
+    mesh = make_mesh(8)
+    s = make_halo_step(hm, mesh, n_steps=2500)(init_halo_state(hm))
+    sv = gather_state(hm, s)
+    assert int(np.asarray(sv.element_flag).sum()) < lm.n_element, \
+        "deck did not erode — test premise broken"
+    di, ve, nd, fl = make_halo_frame(hm, mesh)(s)
+    nd_ref = node_fields(lm, sv.stress, sv.strain, sv.eq_ps, sv.triax)
+    np.testing.assert_array_equal(fl, np.asarray(sv.element_flag))
+    for a, b, name in zip(nd, nd_ref,
+                          ["stress", "strain", "eq_ps", "mises", "triax"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12, err_msg=name)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_halo_checkpoint_roundtrip(tmp_path):
+    """Shard-major checkpoint (no gather_state round trip) resumes
+    bit-exactly."""
+    import dataclasses
+
+    from hakai_tpu.parallel.halo import (is_halo_checkpoint,
+                                         load_halo_checkpoint,
+                                         save_halo_checkpoint)
+    from hakai_tpu.pre.synthetic import bar_model
+
+    m = bar_model(nx=8, ny=8, nz=32, d_time=1e-8, end_time=1.0)
+    lm = lower(m, SolverConfig(node_pad=64))
+    hm = partition(lm, 8)
+    mesh = make_mesh(8)
+    step = make_halo_step(hm, mesh, n_steps=50)
+    s50 = step(init_halo_state(hm))
+    path = str(tmp_path / "halo.npz")
+    save_halo_checkpoint(path, hm, s50)
+    assert is_halo_checkpoint(path)
+    resumed = load_halo_checkpoint(path, hm)
+    a, b = step(s50), step(resumed)
+    for f in dataclasses.fields(a):
+        assert np.array_equal(np.asarray(getattr(a, f.name)),
+                              np.asarray(getattr(b, f.name))), f.name
+    # geometry mismatch is rejected, not silently mis-scattered
+    hm4 = partition(lm, 4)
+    with pytest.raises(ValueError, match="partition"):
+        load_halo_checkpoint(path, hm4)

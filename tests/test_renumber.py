@@ -45,7 +45,8 @@ def test_output_order_restored(tmp_path):
     assert lm.node_new2old is not None
     st = init_state(lm)
     nd = node_fields(lm, st.stress, st.strain, st.eq_ps, st.triax)
-    co, el, fl, di, ve, nd_o = _deck_order_frame(lm, st, nd)
+    co, el, fl, di, ve, nd_o = _deck_order_frame(lm, st.disp, st.velo,
+                                                 st.element_flag, nd)
     # coordinates come back in the deck's original order
     np.testing.assert_allclose(co[:, :m.n_node], m.coordmat)
     # connectivity maps to the original node ids
