@@ -81,6 +81,98 @@ def _free_port():
         return s.getsockname()[1]
 
 
+# 4 processes x 2 devices: contact + real erosion through the full product
+# run() (frames via make_halo_frame -> _to_global placement per process,
+# halo.py), writing VTK on process 0.
+_CHILD_VTK = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                               num_processes=4, process_id=pid)
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 2
+    import numpy as np
+    from hakai_tpu.config import SolverConfig
+    from hakai_tpu.core.lowering import lower
+    from hakai_tpu.pre.synthetic import impact_model
+    from hakai_tpu.solver.explicit import run
+
+    m = impact_model(n=2, v0=8.0e4, d_time=4e-8, end_time=1.2e-5)
+    m.materials[0].ductile = np.array([[0.02, 0.0, 30.0],
+                                       [0.01, 0.3, 30.0]])
+    cfg = SolverConfig(dtype="float64", node_pad=64, elem_pad=8,
+                       renumber="always", output_num=10, out_dir=out)
+    lm = lower(m, cfg)
+    assert lm.pairs and lm.fracture_enabled
+    s = run(lm, verbose=False, write_output=True, halo=8)
+    if jax.process_index() == 0:
+        import glob
+        assert len(glob.glob(os.path.join(out, "file*.vtk"))) == 11
+    jax.distributed.shutdown()
+""").format(repo=REPO)
+
+
+def _vtk_equal(a_path, b_path, rtol=1e-9, atol=1e-12):
+    """Structural lines byte-equal; numeric lines allclose."""
+    with open(a_path) as fa, open(b_path) as fb:
+        la, lb = fa.readlines(), fb.readlines()
+    assert len(la) == len(lb), (a_path, len(la), len(lb))
+    for i, (x, y) in enumerate(zip(la, lb)):
+        if x == y:
+            continue
+        try:
+            vx = np.array([float(t) for t in x.split()])
+            vy = np.array([float(t) for t in y.split()])
+        except ValueError:
+            raise AssertionError(f"{a_path}:{i+1} structural mismatch:"
+                                 f"\n{x!r}\n{y!r}")
+        np.testing.assert_allclose(vx, vy, rtol=rtol, atol=atol,
+                                   err_msg=f"{a_path}:{i+1}")
+
+
+def test_four_process_contact_erosion_vtk(tmp_path):
+    """4 procs x 2 devices run the full product path (contact + erosion +
+    VTK frames via the device-side halo frame) and reproduce the
+    single-process run's VTK output, including the post-erosion CELLS
+    census."""
+    script = tmp_path / "child_vtk.py"
+    script.write_text(_CHILD_VTK)
+    out = tmp_path / "mp"
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), port, str(out)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(4)]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-4000:]
+
+    import numpy as np
+    from hakai_tpu.config import SolverConfig
+    from hakai_tpu.core.lowering import lower
+    from hakai_tpu.pre.synthetic import impact_model
+    from hakai_tpu.solver.explicit import run
+
+    m = impact_model(n=2, v0=8.0e4, d_time=4e-8, end_time=1.2e-5)
+    m.materials[0].ductile = np.array([[0.02, 0.0, 30.0],
+                                       [0.01, 0.3, 30.0]])
+    ref_dir = tmp_path / "ref"
+    cfg = SolverConfig(dtype="float64", node_pad=64, elem_pad=8,
+                       renumber="always", output_num=10, out_dir=str(ref_dir))
+    lm = lower(m, cfg)
+    s = run(lm, verbose=False, write_output=True)
+    assert int(np.asarray(s.element_flag).sum()) < lm.n_element, \
+        "deck did not erode — test premise broken"
+    for k in range(11):
+        _vtk_equal(str(out / f"file{k:03d}.vtk"),
+                   str(ref_dir / f"file{k:03d}.vtk"))
+
+
 def test_two_process_halo_matches_single_process(tmp_path):
     script = tmp_path / "child.py"
     script.write_text(_CHILD)
