@@ -208,9 +208,27 @@ def _mxu_tables():
 
 def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False,
                      precision="highest"):
-    hi = (jax.lax.Precision.HIGH if precision == "high"
-          else jax.lax.Precision.HIGHEST)
+    hi = jax.lax.Precision.HIGHEST
     dn = (((1,), (0,)), ((), ()))      # plain (M,K)@(K,N)
+
+    def _dot(A, x, dtype):
+        if precision != "high":
+            return jax.lax.dot_general(A, x, dn, precision=hi,
+                                       preferred_element_type=dtype)
+        # manual bf16x3 (Mosaic rejects Precision.HIGH): split both
+        # operands into bf16 hi+lo and drop only the lo*lo term —
+        # 3 single-pass MXU products with f32 accumulation instead of
+        # HIGHEST's 6, at ~1e-6 relative error (vs f32's 1.2e-7)
+        bf = jnp.bfloat16
+        A_hi = A.astype(bf)
+        A_lo = (A - A_hi.astype(A.dtype)).astype(bf)
+        x_hi = x.astype(bf)
+        x_lo = (x - x_hi.astype(x.dtype)).astype(bf)
+
+        def d(a, b):
+            return jax.lax.dot_general(a, b, dn,
+                                       preferred_element_type=dtype)
+        return d(A_hi, x_hi) + (d(A_hi, x_lo) + d(A_lo, x_hi))
 
     def kernel(cj_ref, cq_ref, P_ref, pos_ref, du_ref, *rest):
         rest = list(rest)
@@ -245,10 +263,8 @@ def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False,
             du24 = du_ref[:]
 
         # --- MXU: jacobian + reference-space displacement gradient
-        Jf = jax.lax.dot_general(cj_ref[:], pos24, dn, precision=hi,
-                                 preferred_element_type=dtype)   # (72, TE)
-        Gf = jax.lax.dot_general(cj_ref[:], du24, dn, precision=hi,
-                                 preferred_element_type=dtype)   # (72, TE)
+        Jf = _dot(cj_ref[:], pos24, dtype)                       # (72, TE)
+        Gf = _dot(cj_ref[:], du24, dtype)                        # (72, TE)
         J = [[Jf[(a * 3 + b) * 8:(a * 3 + b) * 8 + 8] for b in range(3)]
              for a in range(3)]
         Gdu = [[Gf[(c * 3 + b) * 8:(c * 3 + b) * 8 + 8] for b in range(3)]
@@ -309,8 +325,7 @@ def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False,
         Mf = jnp.concatenate(M_rows, axis=0)               # (72, TE)
 
         # --- MXU: fold to nodal forces, mask dead elements
-        qe24 = jax.lax.dot_general(cq_ref[:], Mf, dn, precision=hi,
-                                   preferred_element_type=dtype)
+        qe24 = _dot(cq_ref[:], Mf, dtype)
         qe_ref[:] = w_(flag[None, :], qe24, 0.0)
 
         for c in range(6):
