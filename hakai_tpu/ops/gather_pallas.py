@@ -81,7 +81,8 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
                         subgroups: int = 1,
                         diag_max_k: int = 6,
                         min_w_rows: int = 1,
-                        min_m_w_rows: int = 0) -> GatherPlan:
+                        min_m_w_rows: int = 0,
+                        m_w_cap: int = 192) -> GatherPlan:
     """Build a :class:`GatherPlan` for gathering ``indices`` (R,) out of a
     source of length ``source_len`` (must be a multiple of 128).
 
@@ -185,7 +186,7 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
             s2 = w0v.reshape(n_m, sg)
             mv = s2.min(axis=1)
             m_w = int((s2 + w_rows - mv[:, None]).max())
-            if m_w <= min(src_rows, max(4 * w_rows, 192)) or sg == 1:
+            if m_w <= min(src_rows, max(4 * w_rows, m_w_cap)) or sg == 1:
                 break
             sg //= 2
         if m_w > src_rows:
@@ -221,7 +222,7 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
         m_start = np.minimum(m_start, max(src_rows - m_w, 0))
         sub_off_a = (s2 - m_start[:, None]).astype(np.int32)
         if (sub_off_a + w_rows > m_w).any() \
-                or m_w > max(4 * w_rows, 192, min_m_w_rows):
+                or m_w > max(4 * w_rows, m_w_cap, min_m_w_rows):
             sg = 1          # merged window cannot cover; fall back to legacy
         else:
             # pad index blocks to the merged grid
