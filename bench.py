@@ -34,7 +34,11 @@ def main():
     cfg = SolverConfig(dtype="float32", node_pad=128,
                        elem_pad=128 * max(1, n_dev),
                        elem_slab=int(os.environ.get("BENCH_SLAB", 0)),
-                       element_kernel=os.environ.get("BENCH_EKERNEL", "auto"))
+                       element_kernel=os.environ.get("BENCH_EKERNEL", "auto"),
+                       # bf16x3 MXU dots: validated within f32's intrinsic
+                       # drift vs f64 over 2000-step trajectories (commit
+                       # 28759ed); the headline runs the fast validated mode
+                       mxu_precision=os.environ.get("BENCH_MXU_PREC", "high"))
     model = lower(bar_model(nx=nx, ny=ny, nz=nz, d_time=1e-8, end_time=1.0),
                   cfg)
     state = init_state(model)

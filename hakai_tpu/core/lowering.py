@@ -879,9 +879,13 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
     asm_mask = None
     asm_vl = 0
     if use_plans:
+        # subgroups=16/cap 768: the disp_e gather is DMA-issue bound in the
+        # HBM-spill regime — merging 16 slot-tiles per window DMA measured
+        # 731 -> 598 us/step at 1M on v5e (benchmarks/profile_gather_1m.py);
+        # neutral at 131k where the gather is VMEM-resident
         plan_pos = plan_blocked_gather(elem.reshape(-1), N,
                                        valid=np.tile(elem_exists, 8),
-                                       subgroups=4)
+                                       subgroups=16, m_w_cap=768)
         lanes = assembly_lanes(elem, nE, E, N)
         asm_vl = len(lanes)
         asm_idx = np.concatenate([l[0] for l in lanes])
