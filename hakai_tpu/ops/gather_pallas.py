@@ -82,13 +82,19 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
                         diag_max_k: int = 6,
                         min_w_rows: int = 1,
                         min_m_w_rows: int = 0,
-                        m_w_cap: int = 192) -> GatherPlan:
+                        m_w_cap: int = 192,
+                        min_dk: int = 0,
+                        min_pad: int = 0) -> GatherPlan:
     """Build a :class:`GatherPlan` for gathering ``indices`` (R,) out of a
     source of length ``source_len`` (must be a multiple of 128).
 
     ``valid`` masks entries whose value is ignored by the caller; they are
     repointed inside the tile window.  ``ok=False`` (XLA fallback) when any
     tile's index spread exceeds ``max_w_rows``*128 source elements.
+
+    ``min_dk`` / ``min_pad`` / ``min_m_w_rows`` force diagonal-mode static
+    meta up to a caller-chosen floor so per-shard plans can share one kernel
+    template (see :func:`plan_sharded_gather`); they never shrink a plan.
     """
     idx = np.asarray(indices, np.int64).ravel()
     r = idx.shape[0]
@@ -157,9 +163,9 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
         d_rel = np.where(vt3, d_rel, 0)
         k = int(d_rel.max()) + 1
         if d_rel.min() >= 0 and k <= diag_max_k:
-            dk = k
+            dk = max(k, min(min_dk, diag_max_k))
             legacy = (w_rows, starts, local)     # restored if merge fails
-            w_rows = rows_t + k - 1
+            w_rows = rows_t + dk - 1
             starts = w0.astype(np.int32)
             base_lane = ((w0[:, None, None] + s_col[None]) * LANE)
             local = np.where(vt3, tiles.reshape(n_tiles, rows_t, LANE)
@@ -189,6 +195,7 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
             if m_w <= min(src_rows, max(4 * w_rows, m_w_cap)) or sg == 1:
                 break
             sg //= 2
+        m_w = max(m_w, min_m_w_rows)     # sharded-plan meta unification
         if m_w > src_rows:
             dk = 0                       # source too small for static copies
             w_rows, starts, local = legacy
@@ -199,7 +206,7 @@ def plan_blocked_gather(indices: np.ndarray, source_len: int,
             dst_raw = lead + src_start - mv
             dst_clamped = np.maximum(dst_raw, 0)
             sub_off_a += (dst_clamped - dst_raw)[:, None]
-            pad = int(dst_clamped.max())     # extra scratch rows above m_w
+            pad = max(int(dst_clamped.max()), min_pad)  # scratch rows > m_w
             r_pad2 = n_m * sg * r_tile
             if r_pad2 > r_pad:
                 local = np.concatenate(
@@ -1086,20 +1093,71 @@ def plan_sharded_assemble_phys(elem_per_shard, nE_per_shard, E: int, N: int,
         lidx=jnp.stack([p.lidx for p in plans]))
 
 
+def _stack_plans(plans) -> GatherPlan:
+    """Stack per-shard plans (identical static meta) on a leading shard
+    axis across every non-static array field."""
+    rep = {}
+    for f in dataclasses.fields(GatherPlan):
+        if f.metadata.get("static"):
+            continue
+        vals = [getattr(p, f.name) for p in plans]
+        rep[f.name] = (None if any(v is None for v in vals)
+                       else jnp.stack(vals))
+    return dataclasses.replace(plans[0], **rep)
+
+
+def _plan_sharded_diag(indices_per_shard, source_len, valid_per_shard,
+                       r_tile, max_w_rows, subgroups, diag_max_k,
+                       m_w_cap) -> GatherPlan | None:
+    """Diagonal-mode sharded plans: every shard on the dk-slice kernel with
+    one static meta (dk, pad, m_w_rows, sg forced to the across-shard max /
+    min).  Returns None unless every shard qualifies for diag mode and the
+    meta converges — callers fall back to chunk-select."""
+    S = len(indices_per_shard)
+
+    def plan_all(sg, min_dk=0, min_mw=0, min_pad=0):
+        return [plan_blocked_gather(indices_per_shard[d], source_len,
+                                    valid=valid_per_shard[d], r_tile=r_tile,
+                                    max_w_rows=max_w_rows, subgroups=sg,
+                                    diag_max_k=diag_max_k, min_dk=min_dk,
+                                    min_m_w_rows=min_mw, min_pad=min_pad,
+                                    m_w_cap=m_w_cap)
+                for d in range(S)]
+
+    def meta_set(ps):
+        return {(p.r, p.r_pad, p.w_rows, p.m_w_rows, p.sg, p.n_tiles,
+                 p.dk, p.pad) for p in ps}
+
+    plans = plan_all(subgroups)
+    for _ in range(4):
+        if not all(p.ok and p.dk > 0 for p in plans):
+            return None
+        if len(meta_set(plans)) == 1:
+            return _stack_plans(plans)
+        plans = plan_all(min(p.sg for p in plans),
+                         min_dk=max(p.dk for p in plans),
+                         min_mw=max(p.m_w_rows for p in plans),
+                         min_pad=max(p.pad for p in plans))
+    return None
+
+
 def plan_sharded_gather(indices_per_shard, source_len: int,
                         valid_per_shard=None, r_tile: int = 2048,
                         max_w_rows: int = 64,
-                        subgroups: int = 4) -> GatherPlan:
+                        subgroups: int = 4,
+                        diag_max_k: int = 6,
+                        m_w_cap: int = 192) -> GatherPlan:
     """Per-shard plans with *uniform* static meta, stacked on a leading
     shard axis.
 
     Inside ``shard_map`` every device runs the same program, so the plan's
     static fields (w_rows, sg, m_w_rows, n_tiles, …) must agree across
-    shards while the index arrays differ.  Each shard's slice is planned
-    independently in chunk-select mode (diag off — its dk/pad meta is too
-    data-dependent to unify), then re-planned with the max window sizes
-    forced, and the arrays stacked.  Use :func:`plan_local` on the
-    device-local slice inside the shard_map body.
+    shards while the index arrays differ.  Diagonal mode is tried first
+    (each shard planned independently, then re-planned with the max
+    dk/pad/m_w and min sg forced — the fast dk-slice kernel); when any
+    shard fails to qualify, every shard is re-planned in chunk-select mode
+    with the max window sizes forced, and the arrays stacked.  Use
+    :func:`plan_local` on the device-local slice inside the shard_map body.
 
     Falls back to ``ok=False`` (XLA gather via ``global_idx``) when any
     shard's plan does.
@@ -1118,6 +1176,13 @@ def plan_sharded_gather(indices_per_shard, source_len: int,
 
     if len({len(np.ravel(ix)) for ix in indices_per_shard}) != 1:
         raise ValueError("per-shard index lists must have equal length")
+
+    if diag_max_k > 0:
+        diag = _plan_sharded_diag(indices_per_shard, source_len,
+                                  valid_per_shard, r_tile, max_w_rows,
+                                  subgroups, diag_max_k, m_w_cap)
+        if diag is not None:
+            return diag
 
     plans = plan_all(1, 0, subgroups)
     uniform_ok = all(p.ok for p in plans)

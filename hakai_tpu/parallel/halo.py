@@ -248,7 +248,10 @@ def partition(model: LoweredModel, n_shards: int) -> HaloModel:
             for slot in range(8):
                 ls += _dup_lanes(elem_w[d][slot, al], slot * El + pos, W)
             lanes_per_shard.append(ls)
-        h_plan_pos = plan_sharded_gather(idx_list, W, valid_per_shard=val_list)
+        # subgroups=16 / cap 768: DMA-issue amortization in the HBM-spill
+        # regime, same knobs as the single-chip plan (core/lowering.py)
+        h_plan_pos = plan_sharded_gather(idx_list, W, valid_per_shard=val_list,
+                                         subgroups=16, m_w_cap=768)
         h_asm_vl = max((len(ls) for ls in lanes_per_shard), default=1)
         h_asm_vl = max(h_asm_vl, 1)
         asm_idx, asm_val, asm_mask_s = [], [], []

@@ -199,3 +199,48 @@ def test_sharded_phys_asm_plan_matches_direct():
             np.add.at(ref, (slice(None), ew[d, i, :k]), qe[:, i, :k])
         got = _emulate_phys_asm(qe, local)
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_gather_diag_mode():
+    """plan_sharded_gather: the halo disp_e gather (per-shard window
+    element-node indices off a renumbered bar) must land on the diagonal
+    kernel with ONE static meta across shards, and every shard's stacked
+    index arrays must decode back to its original indices."""
+    from hakai_tpu.config import SolverConfig
+    from hakai_tpu.core.lowering import lower
+    from hakai_tpu.parallel.halo import partition
+    from hakai_tpu.pre.synthetic import bar_model
+
+    from hakai_tpu.ops.gather_pallas import plan_sharded_gather
+
+    m = bar_model(nx=16, ny=16, nz=128, d_time=1e-8, end_time=1.0)  # 32k
+    lm = lower(m, SolverConfig(dtype="float32", node_pad=128 * 8,
+                               elem_pad=128, renumber="always"))
+    hm = partition(lm, 8)
+    W = hm.No + 2 * hm.H
+    ew = np.asarray(hm.elem_w)
+    al = np.asarray(hm.elem_alive0)
+    idx_list = [ew[d].reshape(-1) for d in range(8)]
+    val_list = [np.tile(al[d], 8) for d in range(8)]
+    p = plan_sharded_gather(idx_list, W, valid_per_shard=val_list)
+    assert p.ok
+    assert p.dk > 0, "bar windows must qualify for the diagonal kernel"
+    # stacked shard axis on every array field
+    assert p.starts.shape[0] == 8 and p.local_idx.shape[0] == 8
+    assert p.m_starts.shape[0] == 8 and p.d_off.shape[0] == 8
+    rows_t = p.r_tile // 128
+    src_rows = W // 128
+    for d in range(8):
+        li = np.asarray(p.local_idx[d]).reshape(-1, rows_t, 128)[:p.n_tiles]
+        st = np.asarray(p.starts[d]).astype(np.int64)
+        s = np.arange(rows_t)[None, :, None]
+        dec = ((st[:, None, None] + s) * 128 + li).reshape(-1)
+        n = p.n_tiles * p.r_tile
+        idxp = np.zeros(n, np.int64); idxp[:8 * hm.El] = idx_list[d]
+        vp = np.zeros(n, bool); vp[:8 * hm.El] = val_list[d]
+        assert (dec[vp] == idxp[vp]).all()
+        assert (li >> 7).max() < p.dk
+        ss = np.asarray(p.m_starts[d])
+        assert (ss >= 0).all() and (ss + p.m_w_rows <= src_rows).all()
+        do = np.asarray(p.d_off[d])
+        assert (do >= 0).all() and do.max() <= p.pad
