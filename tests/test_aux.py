@@ -60,3 +60,21 @@ def test_run_driver_writes_frames_and_metrics(tmp_path):
     assert recs[-1]["kinetic_energy"] > 0
     assert (tmp_path / "ckpt_002.npz").exists()
     assert (tmp_path / "ckpt_004.npz").exists()
+
+
+def test_plot_metrics_renders_png(tmp_path):
+    """utils/plot.py: the drawGraph analogue renders a JSONL stream."""
+    from hakai_tpu.utils.plot import load_jsonl, plot_metrics
+    cfg = SolverConfig(out_dir=str(tmp_path), output_num=5,
+                       metrics_path=str(tmp_path / "metrics.jsonl"))
+    lm = lower(_model(), cfg)
+    run(lm, verbose=False)
+    recs = load_jsonl(str(tmp_path / "metrics.jsonl"))
+    out = plot_metrics(recs, str(tmp_path / "metrics.png"))
+    assert (tmp_path / "metrics.png").stat().st_size > 2000
+    # field subset + explicit failure on unknown fields
+    plot_metrics(recs, str(tmp_path / "m2.png"),
+                 fields=["kinetic_energy", "d_max"], x="step")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        plot_metrics(recs, str(tmp_path / "m3.png"), fields=["nope"])
