@@ -938,22 +938,24 @@ def _make_phys_asm_kernel(C: int, dk: int, rounds: int, rows: int,
         slot = jax.lax.rem(i, jnp.int32(2))
         nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
-        def dma(s, t, ch, g):
+        def dma(s, t, g):
             # per slot-group copy straight out of the raw (C, 8, E) source:
             # the virtual per-slot alignment pads are realized by the
             # per-group source/dest offsets, never materialized.  Each
             # group gets its own full-8-row scratch plane — sub-slicing the
             # sublane-tiled slot dim in a DMA is a Mosaic alignment error
             # (tile 8), so the copy moves all 8 rows at group g's offset
-            # and compute selects the rows that belong to the group.
-            chi = jnp.asarray(ch, jnp.int32)
+            # and compute selects the rows that belong to the group.  All C
+            # channels ride ONE strided copy (the kernel is DMA-issue
+            # bound: 531 tiles x 3 ch x 2 groups was 3186 issues/step at
+            # 1M elements; this cuts it 3x).
             tg = t * jnp.int32(n_groups) + jnp.int32(g)
             return pltpu.make_async_copy(
-                src_hbm.at[chi, :, pl.ds(gs_ref[tg] * LANE,
-                                         w_blocks * LANE)],
-                scratch.at[s, chi, jnp.asarray(g, jnp.int32), :,
+                src_hbm.at[:, :, pl.ds(gs_ref[tg] * LANE,
+                                       w_blocks * LANE)],
+                scratch.at[s, :, jnp.asarray(g, jnp.int32), :,
                            pl.ds(gsh_ref[tg] * LANE, w_blocks * LANE)],
-                sems.at[s, chi, jnp.asarray(g, jnp.int32)])
+                sems.at[s, jnp.asarray(g, jnp.int32)])
 
         @pl.when(i == 0)
         def _():
@@ -961,15 +963,13 @@ def _make_phys_asm_kernel(C: int, dk: int, rounds: int, rows: int,
             # select-discarded lanes; zero once so it can never hold NaN
             # bit patterns from uninitialized VMEM
             scratch[...] = jnp.zeros(scratch.shape, scratch.dtype)
-            for ch in range(C):
-                for g in range(n_groups):
-                    dma(slot, i, ch, g).start()
+            for g in range(n_groups):
+                dma(slot, i, g).start()
 
         @pl.when(i + 1 < n)
         def _():
-            for ch in range(C):
-                for g in range(n_groups):
-                    dma(nxt, i + 1, ch, g).start()
+            for g in range(n_groups):
+                dma(nxt, i + 1, g).start()
 
         lidx = lidx_ref[:]                  # (rounds*rows*8, 128)
         lane = lidx & (LANE - 1)
@@ -977,9 +977,8 @@ def _make_phys_asm_kernel(C: int, dk: int, rounds: int, rows: int,
         # static row->group selector: row r of the combined window comes
         # from the plane of the group containing slot r
         row = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
-        for ch in range(C):
-            for g in range(n_groups):
-                dma(slot, i, ch, g).wait()
+        for g in range(n_groups):
+            dma(slot, i, g).wait()
         for ch in range(C):
             for s in range(rows):
                 acc = jnp.zeros((8, LANE), scratch.dtype)
