@@ -42,6 +42,34 @@ def _node_active(flag, init, twins):
     return init | tw_dead.any(axis=1)
 
 
+def pair_activity(pair: ContactPairArrays, flag):
+    """(tri_active, ni_active, nj_active) masks over the static inventory —
+    pure function of the element life mask (the reference's dynamic surface
+    appends, add_surface_triangle HAKAI_j.jl:2167-2245, as mask flips).
+
+    None on statically-culled pairs (fracture-free decks: the inventory was
+    culled at lowering and activity is compile-time all-true)."""
+    if pair.static_activity:
+        return None
+    twin_dead = ((pair.tri_twin >= 0)
+                 & ~flag[jnp.clip(pair.tri_twin, 0, None)])
+    tri_active = (pair.tri_init | twin_dead) & flag[pair.tri_elem]  # (2F,)
+    ni_active = _node_active(flag, pair.cand_init, pair.cand_twin)  # (Ci,)
+    nj_active = _node_active(flag, pair.jnode_init, pair.jnode_twin)
+    return tri_active, ni_active, nj_active
+
+
+def contact_activity(model: LoweredModel, flag):
+    """Per-pair activity masks for the whole model (see pair_activity).
+
+    Because these are pure functions of ``flag`` — which only erosion ever
+    writes (HAKAI_j.jl:684-764) — callers that step many times can compute
+    them ONCE and re-derive only on steps where a deletion actually fired
+    (solver.explicit carries them through the chunk loop under a
+    ``lax.cond`` on the erosion delete mask)."""
+    return tuple(pair_activity(p, flag) for p in model.pairs)
+
+
 def _compact(mask: jnp.ndarray, cap: int) -> jnp.ndarray:
     """Indices of the first ``cap`` True entries (in order), 0-padded.
 
@@ -76,7 +104,7 @@ def _pad_last(a, n_to, fill=0):
 
 
 def _pair_force(model: LoweredModel, pair: ContactPairArrays,
-                position, velo, flag, axis_name=None):
+                position, velo, flag, axis_name=None, activity=None):
     cfgc = model.config.contact
     dt = position.dtype
     N = position.shape[1]
@@ -95,13 +123,12 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
     # on fracture-free decks: the inventory was culled at lowering) ---
     if pair.static_activity:
         tri_active = ni_active = nj_active = None
+    elif activity is not None:
+        # chunk-carried masks (see contact_activity): recomputed by the
+        # caller only on steps where erosion fired
+        tri_active, ni_active, nj_active = activity
     else:
-        twin_dead = ((pair.tri_twin >= 0)
-                     & ~flag[jnp.clip(pair.tri_twin, 0, None)])
-        tri_active = (pair.tri_init | twin_dead) & flag[pair.tri_elem]  # (2F,)
-        ni_active = _node_active(flag, pair.cand_init, pair.cand_twin)  # (Ci,)
-        nj_active = _node_active(flag, pair.jnode_init,
-                                 pair.jnode_twin)                       # (Cj,)
+        tri_active, ni_active, nj_active = pair_activity(pair, flag)
 
     # --- static-plan gathers of the step's kinematics ---
     posvel = jnp.concatenate([position, velo], axis=0)               # (6, N)
@@ -379,7 +406,7 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
 
 
 def contact_forces_pv(model: LoweredModel, position, velo, element_flag,
-                      axis_name=None) -> jnp.ndarray:
+                      axis_name=None, activity=None) -> jnp.ndarray:
     """Sum of all directional contact-pair forces from explicit kinematics
     ((3, N) position/velocity in edtype and the (E,) global life mask).
 
@@ -388,13 +415,15 @@ def contact_forces_pv(model: LoweredModel, position, velo, element_flag,
     nodes only — every read in the pair force touches cand/tri/jnode ids
     exclusively, so garbage elsewhere is never observed."""
     total = jnp.zeros_like(position)
-    for pair in model.pairs:
+    for i, pair in enumerate(model.pairs):
+        act = None if activity is None else activity[i]
         total = total + _pair_force(model, pair, position, velo,
-                                    element_flag, axis_name)
+                                    element_flag, axis_name, act)
     return total.astype(model.dtype)
 
 
-def contact_forces(model: LoweredModel, state, axis_name=None) -> jnp.ndarray:
+def contact_forces(model: LoweredModel, state, axis_name=None,
+                   activity=None) -> jnp.ndarray:
     """Sum of all directional contact-pair forces, (3, N) in the kinematic
     dtype (narrow phase runs in edtype — f32 in mixed mode).
 
@@ -406,4 +435,4 @@ def contact_forces(model: LoweredModel, state, axis_name=None) -> jnp.ndarray:
     position = (model.coord + state.disp).astype(edt)
     velo = state.velo.astype(edt)
     return contact_forces_pv(model, position, velo, state.element_flag,
-                             axis_name)
+                             axis_name, activity)

@@ -441,7 +441,7 @@ def _global_flags(hm: HaloModel, flag_local):
     return ext[hm.eg_inv].astype(bool)
 
 
-def _halo_contact(hm: HaloModel, s: HaloState, flag_g):
+def _halo_contact(hm: HaloModel, s: HaloState, flag_g, activity=None):
     """Contact force on owned rows: all-gather the compact contact-node
     kinematics, rebuild sparse (3, N) views (valid at contact nodes only —
     the narrow phase reads nothing else), run the round-robin-partitioned
@@ -456,12 +456,13 @@ def _halo_contact(hm: HaloModel, s: HaloState, flag_g):
     flat = jnp.moveaxis(pv_all, 0, 1).reshape(6, -1)     # (6, S*Ncs)
     flat = jnp.concatenate([flat, jnp.zeros((6, 1), edt)], axis=1)
     full = flat[:, hm.cn_inv]                            # (6, N) sparse-valid
-    cf = contact_forces_pv(base, full[:3], full[3:], flag_g, axis_name="dp")
+    cf = contact_forces_pv(base, full[:3], full[3:], flag_g, axis_name="dp",
+                           activity=activity)
     d = jax.lax.axis_index("dp")
     return jax.lax.dynamic_slice(cf, (jnp.int32(0), d * hm.No), (3, hm.No))
 
 
-def _halo_integrate(hm: HaloModel, s: HaloState, flag_g=None):
+def _halo_integrate(hm: HaloModel, s: HaloState, flag_g=None, activity=None):
     """Contact + central difference + BCs on owned rows.
     Returns (t, disp_new, velo)."""
     base = hm.base
@@ -473,7 +474,8 @@ def _halo_integrate(hm: HaloModel, s: HaloState, flag_g=None):
     if base.pairs:
         if flag_g is None:
             flag_g = _global_flags(hm, s.element_flag)
-        external = external + _halo_contact(hm, s, flag_g).astype(base.dtype)
+        external = external + _halo_contact(hm, s, flag_g,
+                                            activity).astype(base.dtype)
 
     a1 = hm.diag_M / dt**2
     a2 = hm.diag_M * base.config.damping_C / (2.0 * dt)
@@ -512,7 +514,7 @@ def _local_fast_model(hm: HaloModel) -> LoweredModel:
 
 
 def _halo_step_fast(hm: HaloModel, lm: LoweredModel, s: HaloState,
-                    disp_e_prev, stress_c, strain_c, flag_g):
+                    disp_e_prev, stress_c, strain_c, flag_g, activity=None):
     """disp_e-carry step on the window — structurally identical to the
     single-chip fast path (solver.explicit.step_fast): only the new
     displacement window is gathered (3 channels), stress/strain travel as
@@ -523,7 +525,7 @@ def _halo_step_fast(hm: HaloModel, lm: LoweredModel, s: HaloState,
     H = hm.H
     from ..ops.element import element_kinematics
 
-    t, disp_new, velo, dwork = _halo_integrate(hm, s, flag_g)
+    t, disp_new, velo, dwork = _halo_integrate(hm, s, flag_g, activity)
     disp_w = _exchange_window(disp_new, H)               # (3, W)
     disp_e = gather_disp_e(lm, disp_w)                   # (3, 8, El)
     pos_r, du_r = element_kinematics(hm.coord_e, disp_e, disp_e_prev,
@@ -556,7 +558,7 @@ def _halo_step_fast(hm: HaloModel, lm: LoweredModel, s: HaloState,
 
 
 def _halo_step_fast_packed(hm: HaloModel, lm: LoweredModel, s: HaloState,
-                           disp_e_prev, P, flag_g):
+                           disp_e_prev, P, flag_g, activity=None):
     """Packed-state variant of _halo_step_fast: the whole Gauss-point state
     travels as one (72, El) array through the fused Pallas element kernel
     (ops/element_pallas — "pallas" packed variant or "pallas_mxu"), exactly
@@ -568,7 +570,7 @@ def _halo_step_fast_packed(hm: HaloModel, lm: LoweredModel, s: HaloState,
     H = hm.H
     El = lm.E
 
-    t, disp_new, velo, dwork = _halo_integrate(hm, s, flag_g)
+    t, disp_new, velo, dwork = _halo_integrate(hm, s, flag_g, activity)
     disp_w = _exchange_window(disp_new, H)               # (3, W)
     disp_e = gather_disp_e(lm, disp_w)                   # (3, 8, El)
     from ..ops.element_pallas import packed_element_step
@@ -722,6 +724,25 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
             dummy = jnp.zeros((0,), stt.stress.dtype)
             fg_init = (_global_flags(mm, stt.element_flag) if carry_fg
                        else jnp.zeros((0,), bool))
+            # chunk-carried contact activity masks (see solver.explicit.
+            # _next_activity): pure functions of the global life mask, so
+            # they refresh only on steps where a deletion changed it.  The
+            # cond predicate compares the freshly-gathered fg against the
+            # carried one — replicated-identical on every shard, and the
+            # branches are collective-free (local mask gathers only), so
+            # divergence/deadlock under shard_map is impossible.
+            from ..ops.contact import contact_activity
+            act_init = (contact_activity(mm.base, fg_init) if carry_fg
+                        else None)
+
+            def _next_act(fg_new, fg_old, act):
+                if not carry_fg:
+                    return act
+                return jax.lax.cond(
+                    jnp.any(fg_new != fg_old),
+                    lambda f: contact_activity(mm.base, f),
+                    lambda _: act, fg_new)
+
             from ..ops.element import pallas_core_ok
             if pallas_core_ok(lmw, mm.El, mm.base.edtype):
                 # fused Pallas element kernel on the window (packed state)
@@ -732,15 +753,15 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
                                  yield_s=dummy)
 
                 def stepp(_, carry):
-                    st_c, de, Pc, fg = carry
+                    st_c, de, Pc, fg, act = carry
                     fg_use = fg if carry_fg else flag_g0
                     new, de2, P2, flag = _halo_step_fast_packed(
-                        mm, lmw, st_c, de, Pc, fg_use)
+                        mm, lmw, st_c, de, Pc, fg_use, act)
                     fg2 = _global_flags(mm, flag) if carry_fg else fg
-                    return new, de2, P2, fg2
+                    return new, de2, P2, fg2, _next_act(fg2, fg, act)
 
-                out, _, Pn, _ = jax.lax.fori_loop(
-                    0, n_steps, stepp, (s0, disp_e0, P0, fg_init))
+                out, _, Pn, _, _ = jax.lax.fori_loop(
+                    0, n_steps, stepp, (s0, disp_e0, P0, fg_init, act_init))
                 Pn = jnp.concatenate(      # deferred erosion zeroing
                     [jnp.where(out.element_flag[None, :], Pn[:56], 0.0),
                      Pn[56:]], axis=0)
@@ -751,15 +772,16 @@ def make_halo_step(hm: HaloModel, mesh: Mesh, n_steps: int = 1):
                 s0 = stt.replace(stress=dummy, strain=dummy)
 
                 def stepb(_, carry):
-                    st_c, de, sc, ec, fg = carry
+                    st_c, de, sc, ec, fg, act = carry
                     fg_use = fg if carry_fg else flag_g0
                     new, de2, sc2, ec2, flag = _halo_step_fast(
-                        mm, lmw, st_c, de, sc, ec, fg_use)
+                        mm, lmw, st_c, de, sc, ec, fg_use, act)
                     fg2 = _global_flags(mm, flag) if carry_fg else fg
-                    return new, de2, sc2, ec2, fg2
+                    return new, de2, sc2, ec2, fg2, _next_act(fg2, fg, act)
 
-                out, _, sc, ec, _ = jax.lax.fori_loop(
-                    0, n_steps, stepb, (s0, disp_e0, sc0, ec0, fg_init))
+                out, _, sc, ec, _, _ = jax.lax.fori_loop(
+                    0, n_steps, stepb,
+                    (s0, disp_e0, sc0, ec0, fg_init, act_init))
                 keep = out.element_flag[None, None, :]  # deferred zeroing
                 out = out.replace(stress=jnp.where(keep, jnp.stack(sc), 0.0),
                                   strain=jnp.where(out.element_flag[None, :],

@@ -75,7 +75,7 @@ def apply_bc(model: LoweredModel, disp_new: jnp.ndarray, current_time):
     return jnp.where(model.bcd_mask, model.bcd_value * fac, disp_new)
 
 
-def _integrate(model: LoweredModel, state: SimState):
+def _integrate(model: LoweredModel, state: SimState, activity=None):
     """Contact + central difference + BCs (HAKAI_j.jl:497-653).
     Returns (t, disp_new, velo, contact_force, dwork) where dwork is the
     per-step [dW_ext, dW_int] increment pair (None unless
@@ -87,7 +87,7 @@ def _integrate(model: LoweredModel, state: SimState):
     external = jnp.zeros_like(state.disp)
     cforce = state.contact_force
     if model.pairs:
-        cforce = contact_forces(model, state)
+        cforce = contact_forces(model, state, activity=activity)
         external = external + cforce
 
     # central difference (HAKAI_j.jl:562-567)
@@ -154,8 +154,35 @@ def step(model: LoweredModel, state: SimState) -> SimState:
     return out.replace(work=_acc_work(state, dwork))
 
 
+def _next_activity(model: LoweredModel, activity, flag, changed):
+    """Chunk-carried contact activity masks: recompute only when erosion
+    actually deleted something this step (``changed``), else reuse.  Masks
+    are pure functions of ``flag`` (ops.contact.contact_activity) and flag's
+    sole writer is erosion, so the cached masks are bitwise-identical to a
+    per-step recompute; on most steps of a fracture deck nothing dies and
+    the O(inventory) flag gathers are skipped (VERDICT #4;
+    add_surface_triangle, HAKAI_j.jl:2167-2245, runs per-step in the ref)."""
+    if activity is None:
+        return None
+    from ..ops.contact import contact_activity
+    return jax.lax.cond(changed,
+                        lambda f: contact_activity(model, f),
+                        lambda _: activity, flag)
+
+
+def _init_activity(model: LoweredModel, flag):
+    """Initial chunk-carry activity — None unless some pair actually has
+    dynamic (flag-dependent) masks."""
+    if not model.pairs or not model.fracture_enabled:
+        return None
+    if all(p.static_activity for p in model.pairs):
+        return None
+    from ..ops.contact import contact_activity
+    return contact_activity(model, flag)
+
+
 def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
-              stress_c, strain_c):
+              stress_c, strain_c, activity=None):
     """Step variant for the chunk loop: carries the gathered element-node
     displacements (only the new displacement is gathered, 3 channels instead
     of 6) and the stress/strain state as 6-component tuples (avoids
@@ -174,7 +201,7 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
     from ..ops.erosion import erosion_delete_mask
 
     edt = model.edtype
-    t, disp_new, velo, cforce, dwork = _integrate(model, state)
+    t, disp_new, velo, cforce, dwork = _integrate(model, state, activity)
     disp_e = gather_disp_e(model, disp_new)
     pos_r, du_r = element_kinematics(model.coord_e, disp_e, disp_e_prev,
                                      edt, model.E)
@@ -206,14 +233,16 @@ def step_fast(model: LoweredModel, state: SimState, disp_e_prev,
     flag = state.element_flag
     if model.fracture_enabled:
         flag, delete = erosion_delete_mask(model, eq, triax, flag)
+        activity = _next_activity(model, activity, flag, delete.any())
     new_state = state.replace(
         t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
         eq_ps=eq, yield_s=y, triax=triax, element_flag=flag,
         contact_force=cforce, work=_acc_work(state, dwork))
-    return new_state, disp_e, tuple(s_c), tuple(e_c)
+    return new_state, disp_e, tuple(s_c), tuple(e_c), activity
 
 
-def step_fast_packed(model: LoweredModel, state: SimState, disp_e_prev, P):
+def step_fast_packed(model: LoweredModel, state: SimState, disp_e_prev, P,
+                     activity=None):
     """disp_e-carry step for the fused Pallas element kernel: the whole
     Gauss-point state travels as one packed (72, E) array ``P`` (see
     ops/element_pallas.element_core_packed), minimizing the kernel's
@@ -222,7 +251,7 @@ def step_fast_packed(model: LoweredModel, state: SimState, disp_e_prev, P):
     from ..ops.element_pallas import packed_element_step
 
     E = model.E
-    t, disp_new, velo, cforce, dwork = _integrate(model, state)
+    t, disp_new, velo, cforce, dwork = _integrate(model, state, activity)
     disp_e = gather_disp_e(model, disp_new)
     P_new, qe, triax, flag = packed_element_step(
         model, model.coord_e, disp_e, disp_e_prev, P, state.element_flag)
@@ -230,11 +259,16 @@ def step_fast_packed(model: LoweredModel, state: SimState, disp_e_prev, P):
                                 ).astype(model.dtype)
     if triax is None:
         triax = state.triax              # chunk-exit triax (see step_fast)
+    if activity is not None:
+        # the packed kernel folds erosion in; detect a deletion by diffing
+        # the life mask (one (E,) bool pass — cheap next to the masks)
+        changed = jnp.any(flag != state.element_flag)
+        activity = _next_activity(model, activity, flag, changed)
     new_state = state.replace(
         t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
         triax=triax, element_flag=flag, contact_force=cforce,
         work=_acc_work(state, dwork))
-    return new_state, disp_e, P_new
+    return new_state, disp_e, P_new, activity
 
 
 def pack_gauss_state(state: SimState, E: int):
@@ -274,6 +308,7 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
     if model.coord_e is not None:
         from ..ops.element import gather_disp_e, pallas_core_ok
 
+        act0 = _init_activity(model, state.element_flag)
         if pallas_core_ok(model, model.E, model.edtype):
             disp_e0 = gather_disp_e(model, state.disp)
             E = model.E
@@ -281,10 +316,10 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
             dummy = jnp.zeros((0,), model.dtype)
             s0 = state.replace(stress=dummy, strain=dummy, eq_ps=dummy,
                                yield_s=dummy)
-            out, _, P = jax.lax.fori_loop(
+            out, _, P, _ = jax.lax.fori_loop(
                 0, n_steps,
-                lambda _, c: step_fast_packed(model, c[0], c[1], c[2]),
-                (s0, disp_e0, P0), unroll=unroll)
+                lambda _, c: step_fast_packed(model, c[0], c[1], c[2], c[3]),
+                (s0, disp_e0, P0, act0), unroll=unroll)
             P = jnp.concatenate(           # deferred erosion zeroing
                 [jnp.where(out.element_flag[None, :], P[:56], 0.0), P[56:]],
                 axis=0)
@@ -300,11 +335,11 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
         disp_e0 = gather_disp_e(model, state.disp)
 
         def body(_, carry):
-            s, de, sc, ec = carry
-            return step_fast(model, s, de, sc, ec)
+            s, de, sc, ec, act = carry
+            return step_fast(model, s, de, sc, ec, act)
 
-        out, _, s_c, e_c = jax.lax.fori_loop(
-            0, n_steps, body, (s0, disp_e0, stress_c0, strain_c0),
+        out, _, s_c, e_c, _ = jax.lax.fori_loop(
+            0, n_steps, body, (s0, disp_e0, stress_c0, strain_c0, act0),
             unroll=unroll)
         keep = out.element_flag[None, None, :]   # deferred erosion zeroing
         out = out.replace(stress=jnp.where(keep, jnp.stack(s_c), 0.0),
