@@ -1028,7 +1028,10 @@ def blocked_assemble_phys(qe, plan: AsmPhysPlan) -> jnp.ndarray:
         scratch_shapes=[
             pltpu.VMEM((2, C, len(plan.pad_groups), 8,
                         plan.scratch_blocks * LANE), src.dtype),
-            pltpu.SemaphoreType.DMA((2, C, len(plan.pad_groups))),
+            # one DMA semaphore per (slot, group): all C channels ride a
+            # single strided copy, so the semaphore must be scalar per copy
+            # (jax >= 0.9 rejects signaling on a non-()-shaped semaphore)
+            pltpu.SemaphoreType.DMA((2, len(plan.pad_groups))),
         ],
     )
     out = pl.pallas_call(

@@ -244,3 +244,32 @@ def test_sharded_gather_diag_mode():
         assert (ss >= 0).all() and (ss + p.m_w_rows <= src_rows).all()
         do = np.asarray(p.d_off[d])
         assert (do >= 0).all() and do.max() <= p.pad
+
+
+def test_phys_asm_kernel_traces():
+    """The REAL blocked_assemble_phys pallas_call must abstract-eval cleanly
+    (not just the numpy emulation): jax >= 0.9 rejects DMA signaling on a
+    non-scalar semaphore slice, which the emulator can never catch.  Uses a
+    mesh whose plan has a pad-group count different from the channel count
+    so a (slot, channel, group)-shaped semaphore mis-indexing cannot hide
+    behind a C == n_groups coincidence."""
+    import jax
+
+    from hakai_tpu.config import SolverConfig
+    from hakai_tpu.core.lowering import lower
+    from hakai_tpu.ops.gather_pallas import (blocked_assemble_phys,
+                                             plan_assemble_phys)
+    from hakai_tpu.pre.synthetic import bar_model
+
+    for dims in ((10, 12, 24), (16, 16, 48)):
+        m = bar_model(nx=dims[0], ny=dims[1], nz=dims[2], d_time=1e-8,
+                      end_time=1.0)
+        lm = lower(m, SolverConfig(dtype="float32", node_pad=128,
+                                   elem_pad=128, renumber="always"))
+        plan = plan_assemble_phys(np.asarray(lm.elem), lm.n_element,
+                                  lm.E, lm.N)
+        assert plan.ok
+        qe = jnp.zeros((3, 8, lm.E), jnp.float32)
+        out = jax.eval_shape(lambda q, p=plan: blocked_assemble_phys(q, p),
+                             qe)
+        assert out.shape == (3, plan.N)
