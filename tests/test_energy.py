@@ -67,6 +67,7 @@ def test_energy_check_off_keeps_work_zero_and_trajectory():
     assert np.any(np.asarray(s_on.work) != 0.0)
 
 
+@pytest.mark.heavy
 def test_balance_residual_with_contact_and_erosion():
     """bullet-impact: IC-velocity contact + ductile erosion.  Contact
     penalty forces enter W_ext; erosion does not retroactively break the

@@ -89,6 +89,7 @@ def test_halo_with_fracture():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.heavy
 def test_halo_contact_matches_single_device():
     """Contact decks run on the halo path: bullet-impact (contact + erosion
     + surface re-exposure) matches single-device — the compact contact-node
@@ -188,6 +189,7 @@ def test_halo_resume_roundtrip():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.heavy
 def test_run_halo_vtk(tmp_path):
     """run(halo=8) is a product path: frames match a single-device run to
     output precision on a contactless deck."""
@@ -282,6 +284,7 @@ def test_halo_packed_resume_roundtrip(monkeypatch):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.heavy
 def test_run_halo_packed_vtk(tmp_path, monkeypatch):
     """run(halo=8) with element_kernel=pallas_mxu is a product path: frames
     match a single-device run with the same kernel to output precision."""
@@ -377,6 +380,7 @@ def test_halo_frame_matches_gathered_node_fields():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.heavy
 def test_halo_frame_with_fracture():
     """Deleted elements keep counting in the node-average divisor (reference
     semantics) on the device-side frame path too."""

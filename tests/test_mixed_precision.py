@@ -1,5 +1,6 @@
 """Mixed precision (f64 nodal kinematics + f32 element/contact math)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from hakai_tpu.config import SolverConfig
@@ -25,6 +26,7 @@ def test_mixed_dtypes():
     assert bool(np.isfinite(np.asarray(out.disp)).all())
 
 
+@pytest.mark.heavy
 def test_mixed_tracks_f64():
     """Short bullet-impact leg: mixed trajectory stays close to full f64."""
     m = read_inp_file(ref_deck("bullet-impact.inp"))

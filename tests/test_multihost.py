@@ -134,6 +134,7 @@ def _vtk_equal(a_path, b_path, rtol=1e-9, atol=1e-12):
                                    err_msg=f"{a_path}:{i+1}")
 
 
+@pytest.mark.heavy
 def test_four_process_contact_erosion_vtk(tmp_path):
     """4 procs x 2 devices run the full product path (contact + erosion +
     VTK frames via the device-side halo frame) and reproduce the
@@ -173,6 +174,7 @@ def test_four_process_contact_erosion_vtk(tmp_path):
                    str(ref_dir / f"file{k:03d}.vtk"))
 
 
+@pytest.mark.heavy
 def test_two_process_halo_matches_single_process(tmp_path):
     script = tmp_path / "child.py"
     script.write_text(_CHILD)

@@ -141,6 +141,7 @@ def test_run_devices_vtk_identical(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.heavy
 def test_sharded_bullet_impact_erosion():
     """Contact under decomposition: bullet-impact (contact + erosion +
     surface re-exposure) matches single-device on the 8-CPU mesh with the
@@ -168,6 +169,7 @@ def test_sharded_bullet_impact_erosion():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.heavy
 def test_sharded_mixed_precision_contact():
     """USAGE.md's flagship multi-chip example is ``--devices N --precision
     mixed``: the disp_e-carry sharded fast step + partitioned contact must
