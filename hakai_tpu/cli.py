@@ -9,6 +9,22 @@ import argparse
 import os
 
 
+def _resolve_energy_flags(energy_check: bool, energy_abort: float | None):
+    """Energy-guard CLI resolution (VERDICT r4 #8 — default-on):
+
+    * default: check on, abort at 0.1 of the energy scale (conservative —
+      the documented N2k f32 blow-up crosses it thousands of steps before
+      NaN; healthy f64/mixed runs sit orders of magnitude below);
+    * --energy-abort REL implies the check (any REL, including 0 =
+      report-only);
+    * --no-energy-check alone turns both off.
+    """
+    if energy_abort is not None:
+        return (True if energy_abort > 0 else energy_check,
+                energy_abort if (energy_check or energy_abort > 0) else 0.0)
+    return energy_check, (0.1 if energy_check else 0.0)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="hakai_tpu",
@@ -38,18 +54,28 @@ def main(argv=None):
                     help="write per-chunk JSONL diagnostics to this path")
     ap.add_argument("--check-nan", action="store_true",
                     help="abort when displacements go non-finite")
-    ap.add_argument("--energy-check", action="store_true",
+    ap.add_argument("--energy-check", action="store_true", default=True,
                     help="accumulate the discrete energy balance (external/"
                          "constraint work vs kinetic + internal work); the "
                          "residual is exact in real arithmetic, so its "
                          "growth detects roundoff-energy injection "
                          "(precision instability) thousands of steps "
-                         "before NaN.  Reported in --metrics records")
-    ap.add_argument("--energy-abort", type=float, default=0.0,
+                         "before NaN.  ON by default for CLI runs "
+                         "(costs two (3,N) dot-reductions per step); "
+                         "reported in --metrics records")
+    ap.add_argument("--no-energy-check", dest="energy_check",
+                    action="store_false",
+                    help="disable the energy-balance guard (pure-throughput "
+                         "runs; the solver then has no early-warning for "
+                         "precision instability)")
+    ap.add_argument("--energy-abort", type=float, default=None,
                     metavar="REL",
-                    help="with --energy-check: abort when the energy "
-                         "residual exceeds REL of the run's energy scale "
-                         "(e.g. 0.05); 0 = never abort")
+                    help="abort when the energy residual exceeds REL of the "
+                         "run's energy scale (default 0.1 — conservative: "
+                         "the documented f32 crash-deck blow-up crosses it "
+                         "thousands of steps before NaN while healthy f64/"
+                         "mixed runs stay orders of magnitude below); "
+                         "0 = report in metrics only, never abort")
     ap.add_argument("--compile-cache",
                     default=os.environ.get("HAKAI_COMPILE_CACHE",
                                            "~/.cache/hakai_tpu/xla"),
@@ -103,6 +129,8 @@ def main(argv=None):
                          "per dot, measured two orders below f32's own "
                          "trajectory drift vs f64)")
     args = ap.parse_args(argv)
+    args.energy_check, args.energy_abort = _resolve_energy_flags(
+        args.energy_check, args.energy_abort)
 
     if args.multihost:
         # must run before anything initializes a backend
@@ -144,7 +172,7 @@ def main(argv=None):
         metrics_path=args.metrics,
         checkpoint_every=args.checkpoint_every,
         check_nan=args.check_nan,
-        energy_check=args.energy_check or args.energy_abort > 0,
+        energy_check=args.energy_check,
         energy_abort_rel=args.energy_abort,
         chunk_unroll=args.chunk_unroll,
     )
@@ -184,7 +212,8 @@ def main(argv=None):
         print("hint: this contact deck runs full f64 (reference-matching "
               "default).  --precision mixed (f64 kinematics + f32 element/"
               "contact math) is validated on the crash decks and ~5.8x "
-              "faster; add --energy-check to monitor precision health")
+              "faster; the energy-balance guard (on by default) monitors "
+              "precision health either way")
 
     state = init_state(model)
     resume_halo = None

@@ -123,3 +123,17 @@ def test_halo_work_matches_single_chip():
     w_ref = np.asarray(ref.work)
     w_halo = np.asarray(view.work)
     assert np.allclose(w_halo, w_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_cli_energy_guard_defaults():
+    """CLI energy-guard resolution (default-on, VERDICT r4 #8): plain runs
+    get check+abort(0.1); --no-energy-check turns both off; an explicit
+    --energy-abort implies the check; --energy-abort 0 = report-only."""
+    from hakai_tpu.cli import _resolve_energy_flags
+
+    assert _resolve_energy_flags(True, None) == (True, 0.1)      # defaults
+    assert _resolve_energy_flags(False, None) == (False, 0.0)    # --no-…
+    assert _resolve_energy_flags(True, 0.05) == (True, 0.05)
+    assert _resolve_energy_flags(False, 0.05) == (True, 0.05)    # implies
+    assert _resolve_energy_flags(True, 0.0) == (True, 0.0)       # report-only
+    assert _resolve_energy_flags(False, 0.0) == (False, 0.0)
