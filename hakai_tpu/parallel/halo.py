@@ -966,13 +966,66 @@ def make_halo_frame(hm: HaloModel, mesh: Mesh):
 # checkpointing at all (SURVEY.md §5).
 # ---------------------------------------------------------------------------
 
-def save_halo_checkpoint(path: str, hm: HaloModel, s: HaloState) -> str:
-    """Write a shard-major halo checkpoint (single-process runs; a
-    multi-process run must checkpoint through gather_state for now)."""
-    leaves = {f.name: np.asarray(getattr(s, f.name))
+def _local_shard_rows(mesh: Mesh) -> list[int]:
+    """Leading-axis shard rows owned by this process under P('dp', ...)."""
+    pi = jax.process_index()
+    return [i for i, d in enumerate(mesh.devices.flat)
+            if d.process_index == pi]
+
+
+def _proc_shard_path(path: str, pid: int) -> str:
+    return f"{path}.p{pid}.npz"
+
+
+def save_halo_checkpoint(path: str, hm: HaloModel, s: HaloState,
+                         mesh: Mesh | None = None) -> str:
+    """Write a shard-major halo checkpoint.
+
+    Single-process runs write one ``.npz`` with the full (S, ...) leaves.
+    Multi-process (jax.distributed) runs write one ``{path}.p{K}.npz`` PER
+    PROCESS — every process calls this and saves only its addressable shard
+    rows, so no host ever materializes the global element state (RSS is
+    bounded by one process's shards); process 0 additionally writes a tiny
+    manifest at ``path`` recording the partition + process geometry.  The
+    reference has no checkpointing at all (SURVEY.md §5)."""
+    fmt = np.array([hm.n_shards, hm.No, hm.El], np.int64)
+    multi = (jax.process_count() > 1
+             and isinstance(s.disp, jax.Array)
+             and not s.disp.is_fully_addressable)
+    if not multi:
+        # host-replicated state: one file, written once (process 0 when
+        # several processes hold the same host copy)
+        if jax.process_index() == 0:
+            leaves = {f.name: np.asarray(getattr(s, f.name))
+                      for f in dataclasses.fields(s)}
+            leaves["halo_format"] = fmt
+            np.savez_compressed(path, **leaves)
+        return path
+
+    mesh = mesh if mesh is not None else s.disp.sharding.mesh
+    rows = _local_shard_rows(mesh)
+
+    def local_block(x):
+        """Addressable shard rows of a leading-'dp' leaf, stacked in global
+        row order (replicated leaves — t — pass through whole)."""
+        if not (isinstance(x, jax.Array) and not x.is_fully_addressable):
+            return np.asarray(x)
+        shards = list(x.addressable_shards)
+        if x.ndim == 0 or x.sharding.is_fully_replicated:
+            return np.asarray(shards[0].data)
+        shards.sort(key=lambda sh: sh.index[0].start or 0)
+        return np.concatenate([np.asarray(sh.data) for sh in shards], axis=0)
+
+    leaves = {f.name: local_block(getattr(s, f.name))
               for f in dataclasses.fields(s)}
-    leaves["halo_format"] = np.array([hm.n_shards, hm.No, hm.El], np.int64)
-    np.savez_compressed(path, **leaves)
+    leaves["halo_format"] = fmt
+    leaves["halo_rows"] = np.asarray(rows, np.int64)
+    leaves["halo_procs"] = np.array([jax.process_index(),
+                                     jax.process_count()], np.int64)
+    np.savez_compressed(_proc_shard_path(path, jax.process_index()), **leaves)
+    if jax.process_index() == 0:
+        np.savez(path, halo_format=fmt, halo_manifest=np.array(
+            [jax.process_count()], np.int64))
     return path
 
 
@@ -981,10 +1034,29 @@ def is_halo_checkpoint(path: str) -> bool:
         return "halo_format" in data
 
 
-def load_halo_checkpoint(path: str, hm: HaloModel) -> HaloState:
+def load_halo_checkpoint(path: str, hm: HaloModel,
+                         mesh: Mesh | None = None) -> HaloState:
     """Load a shard-major checkpoint; the partition geometry (shards, owned
-    rows, elements per shard) must match the current partition()."""
+    rows, elements per shard) must match the current partition().
+
+    Multi-process checkpoints (a manifest at ``path`` plus per-process
+    ``{path}.pK.npz`` shard files) resume across the same mesh: every
+    process reads ONLY its own shard file and places the rows straight onto
+    its local devices (``jax.make_array_from_single_device_arrays``), so
+    resume never materializes the global state on any host."""
     data = np.load(path)
+    if "halo_manifest" in data:
+        if mesh is None:
+            raise ValueError("multi-process halo checkpoint needs the mesh "
+                             "to resume (load_halo_checkpoint(..., mesh=))")
+        nproc = int(data["halo_manifest"][0])
+        if nproc != jax.process_count():
+            raise ValueError(
+                f"halo checkpoint was written by {nproc} processes; this "
+                f"run has {jax.process_count()} — resume on the same "
+                "process layout")
+        return _load_halo_checkpoint_proc(
+            _proc_shard_path(path, jax.process_index()), hm, mesh)
     S, No, El = (int(x) for x in data["halo_format"])
     if (S, No, El) != (hm.n_shards, hm.No, hm.El):
         raise ValueError(
@@ -1005,4 +1077,52 @@ def load_halo_checkpoint(path: str, hm: HaloModel) -> HaloState:
                              f"{arr.shape}, partition expects "
                              f"{np.shape(ref)}")
         kw[f.name] = jnp.asarray(arr, np.asarray(ref).dtype)
+    return HaloState(**kw)
+
+
+def _load_halo_checkpoint_proc(ppath: str, hm: HaloModel,
+                               mesh: Mesh) -> HaloState:
+    """Per-process half of the multi-process resume: read this process's
+    shard rows and assemble global arrays device-by-device."""
+    data = np.load(ppath)
+    S, No, El = (int(x) for x in data["halo_format"])
+    if (S, No, El) != (hm.n_shards, hm.No, hm.El):
+        raise ValueError(
+            f"halo checkpoint partition (S={S}, No={No}, El={El}) does not "
+            f"match the current partition (S={hm.n_shards}, No={hm.No}, "
+            f"El={hm.El})")
+    rows_saved = [int(r) for r in data["halo_rows"]]
+    rows_now = _local_shard_rows(mesh)
+    if rows_saved != rows_now:
+        raise ValueError(
+            f"process {jax.process_index()} owned shard rows {rows_saved} "
+            f"at save time but owns {rows_now} now — resume on the same "
+            "mesh/process layout")
+    devs = {i: d for i, d in enumerate(mesh.devices.flat)
+            if d.process_index == jax.process_index()}
+    like = init_halo_state(hm)
+    kw = {}
+    for f in dataclasses.fields(like):
+        ref = np.asarray(getattr(like, f.name))
+        if f.name == "work" and f.name not in data:
+            arr = np.zeros((len(rows_now),) + ref.shape[1:], ref.dtype)
+        else:
+            arr = data[f.name]
+        if f.name == "t":
+            sh = jax.sharding.NamedSharding(mesh, P())
+            kw[f.name] = jax.make_array_from_single_device_arrays(
+                ref.shape, sh,
+                [jax.device_put(jnp.asarray(arr, ref.dtype), d)
+                 for d in devs.values()])
+            continue
+        if arr.shape != (len(rows_now),) + ref.shape[1:]:
+            raise ValueError(f"halo checkpoint field {f.name} has shape "
+                             f"{arr.shape}, expected "
+                             f"{(len(rows_now),) + ref.shape[1:]}")
+        sh = jax.sharding.NamedSharding(
+            mesh, P(*(["dp"] + [None] * (ref.ndim - 1))))
+        kw[f.name] = jax.make_array_from_single_device_arrays(
+            ref.shape, sh,
+            [jax.device_put(jnp.asarray(arr[k:k + 1], ref.dtype), devs[row])
+             for k, row in enumerate(rows_now)])
     return HaloState(**kw)

@@ -418,6 +418,8 @@ def run(model: LoweredModel, state: SimState | None = None,
     view = None                 # sharded-state -> SimState for host output
     frame_data = None           # state -> (disp, velo, flag, NodeData) host
     save_ckpt = None            # (path, state) -> writes a checkpoint
+    ckpt_all_procs = False      # multi-process shard-major checkpoints are
+    #                             written by EVERY process (one file each)
     if halo is not None and halo > 1:
         from functools import partial as _partial
 
@@ -430,7 +432,7 @@ def run(model: LoweredModel, state: SimState | None = None,
         mesh = make_mesh(halo)
         if resume_halo is not None:
             # shard-major checkpoint resume (no single-chip round trip)
-            state = load_halo_checkpoint(resume_halo, hm)
+            state = load_halo_checkpoint(resume_halo, hm, mesh=mesh)
         else:
             # checkpoint resume: scatter the restored SimState into shards
             state = (partition_state(hm, state) if int(state.t) > 0
@@ -452,11 +454,13 @@ def run(model: LoweredModel, state: SimState | None = None,
             disp, velo, nd, flag = _frame(s)
             return disp, velo, flag, nd
 
-        if jax.process_count() == 1:
-            def save_ckpt(path, s):
-                save_halo_checkpoint(path, hm, s)
-        # multi-process runs keep the gather_state checkpoint path (leaves
-        # are not process-addressable; gather_state replicates first)
+        def save_ckpt(path, s):
+            # shard-major in both layouts: multi-process runs write one
+            # per-process shard file (EVERY process calls this — see the
+            # ckpt_all_procs gate below), so no host ever materializes the
+            # global element state
+            save_halo_checkpoint(path, hm, s, mesh=mesh)
+        ckpt_all_procs = jax.process_count() > 1
     elif devices is not None and devices > 1:
         from ..parallel.sharding import (make_mesh, make_sharded_step,
                                          shard_arrays)
@@ -549,8 +553,8 @@ def run(model: LoweredModel, state: SimState | None = None,
                 write_vtk(i_out, cfg.out_dir, co, el, fl, di, ve, nd_o,
                           model.n_node, model.n_element)
             frame_times.append((i_out, done * model.dt))
-            if (proc0 and cfg.checkpoint_every
-                    and i_out % cfg.checkpoint_every == 0):
+            if (cfg.checkpoint_every and i_out % cfg.checkpoint_every == 0
+                    and (proc0 or ckpt_all_procs)):
                 save_ckpt(cfg.checkpoint_path
                           or f"{cfg.out_dir}/ckpt_{i_out:03d}.npz", state)
             i_out += 1

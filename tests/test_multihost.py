@@ -220,3 +220,96 @@ def test_two_process_halo_matches_single_process(tmp_path):
                                rtol=1e-9, atol=1e-12)
     assert np.array_equal(got["imp_flag"],
                           np.asarray(ref2.element_flag))
+
+
+# 2 processes x 4 devices: shard-major checkpoint written by EVERY process
+# (one file each, rows = the process's addressable shards), resumed without
+# any host materializing the global state, bit-exact vs not checkpointing.
+_CHILD_CKPT = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                               num_processes=2, process_id=pid)
+    import numpy as np
+    from hakai_tpu.config import SolverConfig
+    from hakai_tpu.core.lowering import lower
+    from hakai_tpu.parallel.halo import (gather_state, init_halo_state,
+                                         load_halo_checkpoint,
+                                         make_halo_step,
+                                         save_halo_checkpoint, partition)
+    from hakai_tpu.parallel.sharding import make_mesh
+    from hakai_tpu.pre.synthetic import bar_model
+
+    mesh = make_mesh(8)
+    bm = lower(bar_model(nx=4, ny=4, nz=32, d_time=1e-7),
+               SolverConfig(dtype="float64", node_pad=64, renumber="always"))
+    hm = partition(bm, 8)
+    step = make_halo_step(hm, mesh, n_steps=30)
+    s1 = step(init_halo_state(hm))
+
+    ckpt = os.path.join(out, "halo.ckpt.npz")
+    save_halo_checkpoint(ckpt, hm, s1, mesh=mesh)   # every process writes
+    # resume path: local shard files only
+    s_res = load_halo_checkpoint(ckpt, hm, mesh=mesh)
+    for name in ("disp", "stress", "eq_ps", "element_flag", "t"):
+        a = np.concatenate([np.asarray(sh.data) for sh in
+                            sorted(getattr(s1, name).addressable_shards,
+                                   key=lambda sh: sh.index[0].start or 0)]) \
+            if np.ndim(getattr(s1, name)) else \
+            np.asarray(getattr(s1, name).addressable_shards[0].data)
+        b = np.concatenate([np.asarray(sh.data) for sh in
+                            sorted(getattr(s_res, name).addressable_shards,
+                                   key=lambda sh: sh.index[0].start or 0)]) \
+            if np.ndim(getattr(s_res, name)) else \
+            np.asarray(getattr(s_res, name).addressable_shards[0].data)
+        assert np.array_equal(a, b), name
+
+    g_res = gather_state(hm, step(s_res))     # resumed continuation
+    g_dir = gather_state(hm, step(s1))        # uninterrupted continuation
+    if pid == 0:
+        np.savez(os.path.join(out, "cmp.npz"),
+                 res_disp=np.asarray(g_res.disp),
+                 dir_disp=np.asarray(g_dir.disp),
+                 res_stress=np.asarray(g_res.stress),
+                 dir_stress=np.asarray(g_dir.stress))
+    jax.distributed.shutdown()
+""").format(repo=REPO)
+
+
+@pytest.mark.heavy
+def test_two_process_sharded_checkpoint_roundtrip(tmp_path):
+    """Multi-process halo checkpoint: every process writes its own shard
+    file, resume reads only local files, and the resumed trajectory is
+    bit-identical to the uninterrupted one (VERDICT r4 #6)."""
+    script = tmp_path / "child_ckpt.py"
+    script.write_text(_CHILD_CKPT)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), port, str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-4000:]
+
+    # one shard file per process + the manifest; each holds only its rows
+    ck = tmp_path / "halo.ckpt.npz"
+    assert ck.exists()
+    with np.load(ck) as m:
+        assert int(m["halo_manifest"][0]) == 2
+    for pid, rows in ((0, [0, 1, 2, 3]), (1, [4, 5, 6, 7])):
+        f = tmp_path / f"halo.ckpt.npz.p{pid}.npz"
+        assert f.exists()
+        with np.load(f) as d:
+            assert list(d["halo_rows"]) == rows
+            assert d["disp"].shape[0] == 4      # RSS bounded by own shards
+
+    cmp = np.load(tmp_path / "cmp.npz")
+    assert np.array_equal(cmp["res_disp"], cmp["dir_disp"])
+    assert np.array_equal(cmp["res_stress"], cmp["dir_stress"])
