@@ -405,10 +405,12 @@ def _make_diag_kernel(C: int, dk: int, m_w: int, sg: int, rows_sub: int):
     window row off+d+s) instead of a select over all w_rows chunks.
 
     Scratch is channel-major so each diagonal slice is one contiguous
-    (rows, 128) block; the window is DMA'd per channel (C copies/step,
-    all double-buffered).  The DMA dest offset (d_off) realizes the plan's
-    virtual front pad: scratch rows before it are stale, but only lanes the
-    select discards ever read them."""
+    (rows, 128) block; ALL C channels ride ONE strided window copy per
+    grid step (the kernel is DMA-issue bound — per-channel copies cost
+    ~3x the issues; same trick as the phys-asm kernel).  The DMA dest
+    offset (d_off) realizes the plan's virtual front pad: scratch rows
+    before it are stale, but only lanes the select discards ever read
+    them."""
     def kernel(srcstart_ref, dstoff_ref, suboff_ref, lidx_ref, src_hbm,
                out_ref, scratch, sems):
         i = pl.program_id(0)
@@ -417,14 +419,11 @@ def _make_diag_kernel(C: int, dk: int, m_w: int, sg: int, rows_sub: int):
         nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
         pad = scratch.shape[2] - m_w
 
-        def dma(s, t, ch):
-            # ch as an int32 constant: a python int index promotes to i64
-            # under x64 mode, which tpu.memref_slice rejects
-            chi = jnp.asarray(ch, jnp.int32)
+        def dma(s, t):
             return pltpu.make_async_copy(
-                src_hbm.at[chi, pl.ds(srcstart_ref[t], m_w)],
-                scratch.at[s, chi, pl.ds(dstoff_ref[t], m_w)],
-                sems.at[s, chi])
+                src_hbm.at[:, pl.ds(srcstart_ref[t], m_w)],
+                scratch.at[s, :, pl.ds(dstoff_ref[t], m_w)],
+                sems.at[s])
 
         @pl.when(i == 0)
         def _():
@@ -433,19 +432,16 @@ def _make_diag_kernel(C: int, dk: int, m_w: int, sg: int, rows_sub: int):
                 # select-discarded lanes only; zero once so they can never
                 # hold NaN bit patterns from uninitialized VMEM
                 scratch[...] = jnp.zeros(scratch.shape, scratch.dtype)
-            for ch in range(C):
-                dma(slot, i, ch).start()
+            dma(slot, i).start()
 
         @pl.when(i + 1 < n)
         def _():
-            for ch in range(C):
-                dma(nxt, i + 1, ch).start()
+            dma(nxt, i + 1).start()
 
         lidx = lidx_ref[:]                          # (sg*rows_sub, 128)
         lane = lidx & (LANE - 1)
         drow = lidx >> 7                            # diagonal index in [0,dk)
-        for ch in range(C):
-            dma(slot, i, ch).wait()
+        dma(slot, i).wait()
         for ch in range(C):
             for g in range(sg):
                 sl = slice(g * rows_sub, (g + 1) * rows_sub)
@@ -474,32 +470,30 @@ def _make_diag_asm_kernel(C: int, dk: int, m_w: int, rows_sub: int, vl: int):
         nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
         pad = scratch.shape[2] - m_w
 
-        def dma(s, t, ch):
-            chi = jnp.asarray(ch, jnp.int32)
+        def dma(s, t):
+            # ONE strided copy carries all C channels (DMA-issue bound;
+            # see _make_diag_kernel)
             return pltpu.make_async_copy(
-                src_hbm.at[chi, pl.ds(srcstart_ref[t], m_w)],
-                scratch.at[s, chi, pl.ds(dstoff_ref[t], m_w)],
-                sems.at[s, chi])
+                src_hbm.at[:, pl.ds(srcstart_ref[t], m_w)],
+                scratch.at[s, :, pl.ds(dstoff_ref[t], m_w)],
+                sems.at[s])
 
         @pl.when(i == 0)
         def _():
             if pad > 0:
                 scratch[...] = jnp.zeros(scratch.shape, scratch.dtype)
-            for ch in range(C):
-                dma(slot, i, ch).start()
+            dma(slot, i).start()
 
         @pl.when(i + 1 < n)
         def _():
-            for ch in range(C):
-                dma(nxt, i + 1, ch).start()
+            dma(nxt, i + 1).start()
 
         lidx = lidx_ref[:]
         lane = lidx & (LANE - 1)
         drow = lidx >> 7
         mask = mask_ref[:]
         first = jax.lax.rem(i, jnp.int32(vl)) == 0
-        for ch in range(C):
-            dma(slot, i, ch).wait()
+        dma(slot, i).wait()
         for ch in range(C):
             off = suboff_ref[i]
             acc = jnp.zeros((rows_sub, LANE), scratch.dtype)
@@ -601,7 +595,7 @@ def blocked_assemble(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
                 lambda i, ss, do, so: (_I0(), i // plan.vl, _I0())),
             scratch_shapes=[
                 pltpu.VMEM((2, C, plan.pad + plan.m_w_rows, LANE), src.dtype),
-                pltpu.SemaphoreType.DMA((2, C)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         out = pl.pallas_call(
@@ -669,7 +663,7 @@ def blocked_gather(src: jnp.ndarray, plan: GatherPlan) -> jnp.ndarray:
                                    lambda i, ss, do, so: (_I0(), i, _I0())),
             scratch_shapes=[
                 pltpu.VMEM((2, C, plan.pad + plan.m_w_rows, LANE), src.dtype),
-                pltpu.SemaphoreType.DMA((2, C)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         out = pl.pallas_call(
