@@ -239,6 +239,16 @@ class LoweredModel:
 
     # ---- contact ----
     pairs: Tuple[ContactPairArrays, ...] = ()
+    # merged contact-kinematics gather: ONE (6, N) posvel gather feeds every
+    # pair's q0/q1/q2/vel_j0/pos_i/vel_i/pos_jn slices instead of ~4 gather
+    # launches per directional pair (the contact step on small decks is
+    # launch-bound — car-crash-N22k spends ~0.56 ms/step outside the narrow
+    # phase across ~30 launches; VERDICT r4 #5).  ckin_slices[p] =
+    # ((t0s,t0e),(t1s,t1e),(t2s,t2e),(cs,ce),(js,je)) into the gathered
+    # (6, R) array, per directional pair.
+    plan_ckin: GatherPlan | None = None
+    ckin_slices: tuple = dataclasses.field(metadata=dict(static=True),
+                                           default=())
 
     # ---- Pallas blocked-gather plans (None -> XLA gather fallback) ----
     # nodal -> element gather of stacked (position, d_disp): (6,N) -> (6,8E)
@@ -583,7 +593,7 @@ def _lower_contact(model: Model, cfg: SolverConfig, dtype, kw_n_pad=0,
                    static_activity=False):
     """Build the directional pair list (HAKAI_j.jl:243-402)."""
     if model.contact_flag < 1:
-        return ()
+        return (), None, ()
     ni = len(model.instances)
     cps = []   # (i1, i2, elements_1, elements_2) with 1-based part-local elsets
     if len(model.cps) == 0:
@@ -616,7 +626,26 @@ def _lower_contact(model: Model, cfg: SolverConfig, dtype, kw_n_pad=0,
                                       face_cache, dtype, kw_n_pad,
                                       kw_elem_np, kw_diag_M_np,
                                       static_activity=static_activity))
-    return tuple(pairs)
+    pairs = tuple(pairs)
+
+    # merged contact-kinematics plan: one segmented gather over (6, N)
+    # posvel covering every pair's triangle-vertex / candidate / j-node
+    # index sets (see LoweredModel.plan_ckin)
+    segs = []
+    for p in pairs:
+        tn = np.asarray(p.tri_nodes)
+        segs += [tn[0], tn[1], tn[2],
+                 np.asarray(p.cand_nodes), np.asarray(p.jnode_nodes)]
+    plan_ckin = None
+    ckin_slices = ()
+    if segs:
+        plan, slices = plan_segmented(segs, kw_n_pad)
+        if plan.ok:
+            plan_ckin = plan
+            ckin_slices = tuple(
+                tuple((s.start, s.stop) for s in slices[5 * pi:5 * pi + 5])
+                for pi in range(len(pairs)))
+    return pairs, plan_ckin, ckin_slices
 
 
 def lower(model: Model, config: SolverConfig | None = None) -> LoweredModel:
@@ -864,10 +893,10 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
             axis = (np.asarray(dof) - 1) % 3
             velo0[axis, node] = val
 
-    pairs = _lower_contact(model, cfg, dtype, kw_n_pad=N,
-                           kw_elem_np=elem, kw_diag_M_np=diag_M,
-                           static_activity=(not fracture_enabled
-                                            and cfg.contact.static_cull))
+    pairs, plan_ckin, ckin_slices = _lower_contact(
+        model, cfg, dtype, kw_n_pad=N,
+        kw_elem_np=elem, kw_diag_M_np=diag_M,
+        static_activity=(not fracture_enabled and cfg.contact.static_cull))
 
     pl_tables = tuple(tuple((float(r[0]), float(r[1])) for r in m.plastic)
                       for m in mats)
@@ -946,7 +975,7 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         velo0=jnp.asarray(velo0, kdtype),
         vol_e=jnp.asarray(np.concatenate(
             [volume, np.zeros(E - nE)]), dtype),
-        pairs=pairs,
+        pairs=pairs, plan_ckin=plan_ckin, ckin_slices=ckin_slices,
         plan_pos=plan_pos,
         plan_asm=plan_asm,
         plan_asm2=plan_asm2,

@@ -104,7 +104,8 @@ def _pad_last(a, n_to, fill=0):
 
 
 def _pair_force(model: LoweredModel, pair: ContactPairArrays,
-                position, velo, flag, axis_name=None, activity=None):
+                position, velo, flag, axis_name=None, activity=None,
+                kin=None, ksl=None):
     cfgc = model.config.contact
     dt = position.dtype
     N = position.shape[1]
@@ -131,21 +132,30 @@ def _pair_force(model: LoweredModel, pair: ContactPairArrays,
         tri_active, ni_active, nj_active = pair_activity(pair, flag)
 
     # --- static-plan gathers of the step's kinematics ---
-    posvel = jnp.concatenate([position, velo], axis=0)               # (6, N)
-    pv_i = _gather(posvel, pair.plan_inode, pair.cand_nodes)         # (6, Ci)
-    pos_i, vel_i = pv_i[:3], pv_i[3:]
-    pos_jn = _gather(position, pair.plan_jnode, pair.jnode_nodes)    # (3, Cj)
-    if pair.plan_tpos is not None:
-        q_flat = blocked_gather(position, pair.plan_tpos)
-        (a0, b0), (a1, b1), (a2, b2) = pair.tpos_bounds
-        q0 = q_flat[:, a0:b0]
-        q1 = q_flat[:, a1:b1]
-        q2 = q_flat[:, a2:b2]
+    if kin is not None:
+        # slices of the ONE merged posvel gather (model.plan_ckin) the
+        # caller ran for all pairs — no per-pair gather launches
+        (t0s, t0e), (t1s, t1e), (t2s, t2e), (cs, ce), (js, je) = ksl
+        q0, q1, q2 = kin[:3, t0s:t0e], kin[:3, t1s:t1e], kin[:3, t2s:t2e]
+        vel_j0 = kin[3:, t0s:t0e]
+        pos_i, vel_i = kin[:3, cs:ce], kin[3:, cs:ce]
+        pos_jn = kin[:3, js:je]
     else:
-        q0 = position[:, pair.tri_nodes[0]]
-        q1 = position[:, pair.tri_nodes[1]]
-        q2 = position[:, pair.tri_nodes[2]]
-    vel_j0 = _gather(velo, pair.plan_tvel, pair.tri_nodes[0])        # (3, 2F)
+        posvel = jnp.concatenate([position, velo], axis=0)           # (6, N)
+        pv_i = _gather(posvel, pair.plan_inode, pair.cand_nodes)     # (6, Ci)
+        pos_i, vel_i = pv_i[:3], pv_i[3:]
+        pos_jn = _gather(position, pair.plan_jnode, pair.jnode_nodes)  # (3, Cj)
+        if pair.plan_tpos is not None:
+            q_flat = blocked_gather(position, pair.plan_tpos)
+            (a0, b0), (a1, b1), (a2, b2) = pair.tpos_bounds
+            q0 = q_flat[:, a0:b0]
+            q1 = q_flat[:, a1:b1]
+            q2 = q_flat[:, a2:b2]
+        else:
+            q0 = position[:, pair.tri_nodes[0]]
+            q1 = position[:, pair.tri_nodes[1]]
+            q2 = position[:, pair.tri_nodes[2]]
+        vel_j0 = _gather(velo, pair.plan_tvel, pair.tri_nodes[0])    # (3, 2F)
 
     # --- AABBs over the two active node sets (HAKAI_j.jl:2284-2315) ---
     min_i, max_i = _masked_minmax(
@@ -415,10 +425,17 @@ def contact_forces_pv(model: LoweredModel, position, velo, element_flag,
     nodes only — every read in the pair force touches cand/tri/jnode ids
     exclusively, so garbage elsewhere is never observed."""
     total = jnp.zeros_like(position)
+    kin = None
+    if model.pairs and model.plan_ckin is not None:
+        # ONE merged gather feeds every pair's kinematics slices
+        kin = blocked_gather(
+            jnp.concatenate([position, velo], axis=0), model.plan_ckin)
     for i, pair in enumerate(model.pairs):
         act = None if activity is None else activity[i]
+        ksl = model.ckin_slices[i] if kin is not None else None
         total = total + _pair_force(model, pair, position, velo,
-                                    element_flag, axis_name, act)
+                                    element_flag, axis_name, act,
+                                    kin=kin, ksl=ksl)
     return total.astype(model.dtype)
 
 
