@@ -371,9 +371,24 @@ def _expand_axis_moments(mom, dtype):
     return out
 
 
+def _gp_sum(x, in_pallas):
+    """Sum an (8, B) Gauss-point stack over sublanes.
+
+    Mosaic under jax >= 0.9 (shape_invariant_numerics) rejects
+    ``vector.multi_reduction`` when the input layout carries sublane
+    offsets — which row-sliced operands inside the Pallas kernels do — so
+    Pallas callers reduce by halving adds instead (the relayout copies the
+    adds force are legal; same value up to f32 rounding order)."""
+    if not in_pallas:
+        return x.sum(axis=0)
+    a = x[0:4] + x[4:8]
+    b = a[0:2] + a[2:4]
+    return (b[0:1] + b[1:2])[0]
+
+
 def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
                   pos_e, du, stress, strain, eq_ps, yield_s, element_flag,
-                  pre_centered=False):
+                  pre_centered=False, in_pallas=False):
     """Pure B-bar + radial-return + internal-force math on (…, B) arrays.
 
     Written against lax primitives only so it can run both as a plain traced
@@ -428,7 +443,7 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     # contraction is pushed to the outside of every use of P (the contraction
     # order is reassociated; same math as cal_Bfinal, HAKAI_j.jl:1415-1519).
 
-    V = detJ_abs.sum(axis=0)                            # (B,)
+    V = _gp_sum(detJ_abs, in_pallas)                    # (B,)
     inv_V = 1.0 / _w(V == 0, 1.0, V)
 
     # displacement gradient g[a][b] = d u_b / d x_a
@@ -452,7 +467,7 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
                 acc = acc + invJ[a][c] * Gdu[c][b]
             g[a][b] = acc                               # (8, B)
     tr = g[0][0] + g[1][1] + g[2][2]
-    volbar = ((detJ_abs * tr).sum(axis=0) * inv_V / 3.0)[None, :]   # (1, B)
+    volbar = (_gp_sum(detJ_abs * tr, in_pallas) * inv_V / 3.0)[None, :]
 
     de = [
         g[0][0] - tr / 3.0 + volbar,
@@ -508,7 +523,8 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
     # once per step), so long-run strain output can drift from a bitwise
     # reference dump at ulp level — same values in real arithmetic, and
     # strain is write-only diagnostic state (oracle parity tests pass).
-    new_strain = [strain[c] + 0.125 * de[c].sum(axis=0) for c in range(6)]
+    new_strain = [strain[c] + 0.125 * _gp_sum(de[c], in_pallas)
+                  for c in range(6)]
 
     # Measured negative result (round 3): computing triaxiality here "for
     # free" from the return map (mean preserved; final vm = new yield for
@@ -534,7 +550,7 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
            [final[3], final[1], final[4]],
            [final[5], final[4], final[2]]]
     w = detJ
-    sum_w_sig_m = (w * sig_m).sum(axis=0)                # (B,)
+    sum_w_sig_m = _gp_sum(w * sig_m, in_pallas)          # (B,)
     wdet = detJ_abs * inv_V                              # (8,B) Pbar weights
     M = [[None] * 3 for _ in range(3)]
     for c in range(3):
@@ -561,8 +577,9 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
                                (i2, w2, 0.125 * _G), (i3, w12,
                                                       0.125 * _G * _G)):
                 # R[b] = sum_k wk_k * M[c][b][k]  -> (3, B)
-                R = jnp.stack([(M[c][b] if wk is None else M[c][b] * wk
-                                ).sum(axis=0) for b in range(3)])
+                R = jnp.stack([_gp_sum(M[c][b] if wk is None
+                                       else M[c][b] * wk, in_pallas)
+                               for b in range(3)])
                 pcol = jnp.asarray(sc * _MOM_PATS[ii][None, :, None], dtype)
                 term = pcol * R[:, None, :]              # (3, 8, B)
                 Qe = term if Qe is None else Qe + term
@@ -574,7 +591,7 @@ def _element_math(pl_tables, mat_id, G_e, lam_e, has_plastic_e, pus,
                 t = pus[:, 0, i:i + 1] * M[0][b] \
                     + pus[:, 1, i:i + 1] * M[1][b] \
                     + pus[:, 2, i:i + 1] * M[2][b]
-                cols.append(t.sum(axis=0))               # (B,)
+                cols.append(_gp_sum(t, in_pallas))       # (B,)
             rows.append(jnp.stack(cols))                 # (8, B)
         Qe = jnp.stack(rows)                             # (3, 8, B)
     Qe = _w(element_flag[None, None, :], Qe, 0.0)

@@ -32,7 +32,7 @@ def _make_kernel(pl_tables):
         qe, s_c, e_c, eq, y, _ = _el._element_math(
             pl_tables, mat_ref[0], G_ref[0], lam_ref[0], hasp, pus_ref[:],
             pos_ref[:], du_ref[:], stress_c, strain_c,
-            eq_ref[:], y_ref[:], flag)
+            eq_ref[:], y_ref[:], flag, in_pallas=True)
         qe_ref[:] = _el._stack_qe(qe)
         stress_o[:] = jnp.stack(s_c)
         strain_o[:] = jnp.stack(e_c)
@@ -105,7 +105,7 @@ def _make_packed_kernel(pl_tables, TE):
         du = du_ref[:].reshape(3, 8, TE)
         qe, s_c, e_c, eq2, y2, _ = _el._element_math(
             pl_tables, mat, G, lam, hasp, pus_ref[:], pos_e, du,
-            stress_c, strain_c, eq, y, flag)
+            stress_c, strain_c, eq, y, flag, in_pallas=True)
         qe_ref[:] = _el._stack_qe(qe).reshape(24, TE)
         for c in range(6):
             P_out[8 * c:8 * (c + 1)] = s_c[c]
@@ -216,9 +216,13 @@ def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False,
             return jax.lax.dot_general(A, x, dn, precision=hi,
                                        preferred_element_type=dtype)
         # manual bf16x3 (Mosaic rejects Precision.HIGH): split both
-        # operands into bf16 hi+lo and drop only the lo*lo term —
-        # 3 single-pass MXU products with f32 accumulation instead of
-        # HIGHEST's 6, at ~1e-6 relative error (vs f32's 1.2e-7)
+        # operands into bf16 hi+lo and drop only the lo*lo term, at
+        # ~1e-6 relative error (vs f32's 1.2e-7).  The three cross terms
+        # ride ONE K-stacked MXU pass, [Ah|Ah|Al] @ [xh;xl;xh] — the sum
+        # happens inside the MXU's f32 accumulator, and the kernel is
+        # MXU-stream bound (ablate_kernel_1m: dots alone are 2.7 of the
+        # 3.7 ms at 1M), so pass count IS the kernel's critical path.
+        # K > 42 is chunked so the stacked contraction stays <= 128.
         bf = jnp.bfloat16
         A_hi = A.astype(bf)
         A_lo = (A - A_hi.astype(A.dtype)).astype(bf)
@@ -228,7 +232,19 @@ def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False,
         def d(a, b):
             return jax.lax.dot_general(a, b, dn,
                                        preferred_element_type=dtype)
-        return d(A_hi, x_hi) + (d(A_hi, x_lo) + d(A_lo, x_hi))
+        K = A.shape[1]
+        c = K
+        while 3 * c > 128:
+            c = -(-c // 2)
+        acc = None
+        for k in range(0, K, c):
+            W = jnp.concatenate([A_hi[:, k:k + c], A_hi[:, k:k + c],
+                                 A_lo[:, k:k + c]], axis=1)
+            X = jnp.concatenate([x_hi[k:k + c], x_lo[k:k + c],
+                                 x_hi[k:k + c]], axis=0)
+            r = d(W, X)
+            acc = r if acc is None else acc + r
+        return acc
 
     def kernel(cj_ref, cq_ref, P_ref, pos_ref, du_ref, *rest):
         rest = list(rest)

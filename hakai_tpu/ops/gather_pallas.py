@@ -442,18 +442,24 @@ def _make_diag_kernel(C: int, dk: int, m_w: int, sg: int, rows_sub: int):
         lane = lidx & (LANE - 1)
         drow = lidx >> 7                            # diagonal index in [0,dk)
         dma(slot, i).wait()
-        for ch in range(C):
-            for g in range(sg):
-                sl = slice(g * rows_sub, (g + 1) * rows_sub)
-                lane_g = lane[sl]
-                drow_g = drow[sl]
-                off = suboff_ref[i * jnp.int32(sg) + jnp.int32(g)]
-                acc = jnp.zeros((rows_sub, LANE), scratch.dtype)
-                for d in range(dk):
-                    row_b = scratch[slot, ch,
-                                    pl.ds(off + jnp.int32(d), rows_sub), :]
-                    val = _lane_lookup(row_b, lane_g)
-                    acc = jax.lax.select(drow_g == d, val, acc)
+        # g outer / ch inner: the drow==d masks depend on (g) only, so one
+        # mask set serves all C channels; the mux tree (drow is ALWAYS in
+        # [0,dk) by construction) replaces the compare+select-into-acc
+        # chain — measured VPU-bound at 1M (608 us vs a 170 us HBM floor),
+        # this cuts the per-(ch,g) op count ~30%
+        for g in range(sg):
+            sl = slice(g * rows_sub, (g + 1) * rows_sub)
+            lane_g = lane[sl]
+            drow_g = drow[sl]
+            masks = [drow_g == d for d in range(dk - 1)]
+            off = suboff_ref[i * jnp.int32(sg) + jnp.int32(g)]
+            for ch in range(C):
+                vals = [_lane_lookup(
+                    scratch[slot, ch, pl.ds(off + jnp.int32(d), rows_sub), :],
+                    lane_g) for d in range(dk)]
+                acc = vals[dk - 1]
+                for d in reversed(range(dk - 1)):
+                    acc = jax.lax.select(masks[d], vals[d], acc)
                 out_ref[ch, sl] = acc
     return kernel
 
@@ -494,14 +500,18 @@ def _make_diag_asm_kernel(C: int, dk: int, m_w: int, rows_sub: int, vl: int):
         mask = mask_ref[:]
         first = jax.lax.rem(i, jnp.int32(vl)) == 0
         dma(slot, i).wait()
+        # drow==d masks are channel-independent: hoist them, mux-tree the
+        # diagonal picks (drow always lands in [0,dk); invalid lanes are
+        # zeroed by the assembly mask below) — see _make_diag_kernel
+        dmasks = [drow == d for d in range(dk - 1)]
         for ch in range(C):
             off = suboff_ref[i]
-            acc = jnp.zeros((rows_sub, LANE), scratch.dtype)
-            for d in range(dk):
-                row_b = scratch[slot, ch,
-                                pl.ds(off + jnp.int32(d), rows_sub), :]
-                val = _lane_lookup(row_b, lane)
-                acc = jax.lax.select(drow == d, val, acc)
+            vals = [_lane_lookup(
+                scratch[slot, ch, pl.ds(off + jnp.int32(d), rows_sub), :],
+                lane) for d in range(dk)]
+            acc = vals[dk - 1]
+            for d in reversed(range(dk - 1)):
+                acc = jax.lax.select(dmasks[d], vals[d], acc)
             acc = acc * mask
 
             @pl.when(first)
@@ -775,6 +785,12 @@ class AsmPhysPlan:
     # by up to max(pad) blocks); lane reads shift by the same margin
     margin: int = dataclasses.field(metadata=dict(static=True), default=0)
     E: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # effective diagonal depth after the per-(tile, s) rebase: row s of tile
+    # t reads merged blocks s_off[t*rows+s] + [0, dke) instead of the full
+    # [0, dk) at static column s — dke = max per-(tile,s) SPAN of the
+    # diagonal indices (3-4 at 1M vs dk=5), so the kernel's d-loop shrinks
+    # by dk/dke with zero runtime cost
+    dke: int = dataclasses.field(metadata=dict(static=True), default=0)
     starts: jnp.ndarray = None    # (n_tiles,) int32 virtual src block start
     shifts: jnp.ndarray = None    # (n_tiles,) int32 virtual dest block off
     g_starts: jnp.ndarray = None  # (n_tiles*n_groups,) int32 clamped raw-
@@ -782,6 +798,8 @@ class AsmPhysPlan:
     g_shifts: jnp.ndarray = None  # (n_tiles*n_groups,) int32 scratch dest
     #                               block offsets per (tile, group)
     lidx: jnp.ndarray = None      # (n_tiles*rounds*rows*8, 128) int32
+    s_off: jnp.ndarray = None     # (n_tiles*rows,) int32 rebased merged-
+    #                               block base per output row (k0m-relative)
 
 
 _PHYS_SENTINEL = 127 * 128      # drow 127: never selected (dk <= 32)
@@ -791,7 +809,7 @@ def plan_assemble_phys(elem: np.ndarray, nE: int, E: int, N: int,
                        r_tile: int = 2048, dk_max: int = 8,
                        rounds_max: int = 4, force_pads=None,
                        min_dk: int = 0, min_rounds: int = 0,
-                       min_k0: int = 0) -> AsmPhysPlan:
+                       min_k0: int = 0, min_dke: int = 0) -> AsmPhysPlan:
     """Build an :class:`AsmPhysPlan` from the (8, E) connectivity.
 
     ``ok=False`` when the mesh numbering defeats the diagonal-window
@@ -899,9 +917,28 @@ def plan_assemble_phys(elem: np.ndarray, nE: int, E: int, N: int,
     scratch_blocks = max(int(g_shifts.max()) + w_blocks,
                          k0 + margin + rows + dk - 1)
 
-    # lidx[(t, r, s, i), l] = delta*128 + e%128, sentinel if invalid
+    # --- per-(tile, s) diagonal rebase: the kernel's static column base
+    # (k0m + s) forces a d-loop over the GLOBAL diagonal depth dk; rebasing
+    # each output row to its own min diagonal (a prefetched scalar) shrinks
+    # the loop to the max SPAN dke (3-4 vs dk=5 at 1M).  base is clamped to
+    # w_blocks - dke so every merged-block read stays in [0, w_blocks);
+    # the clamp keeps drow in [0, dke) because b_hi = k0m + rows + dk - 1
+    # >= k0m + s + dmax_ts + 1 for every (t, s).
+    d5 = delta.reshape(n_tiles, rows, LANE, rounds, 8)
+    v5 = valid0.reshape(n_tiles, rows, LANE, rounds, 8)
+    dmin_ts = np.where(v5, d5, np.iinfo(np.int64).max).min(axis=(2, 3, 4))
+    dmax_ts = np.where(v5, d5, -1).max(axis=(2, 3, 4))
+    dmin_ts = np.where(dmax_ts >= 0, dmin_ts, 0)
+    dke = max(int((dmax_ts - dmin_ts + 1).max()), 1) if valid0.any() else 1
+    dke = max(dke, min_dke)
+    s_arr = np.arange(rows)[None, :]
+    base_rel = np.minimum(s_arr + dmin_ts, w_blocks - dke)   # (n_tiles, rows)
+    off_n = (base_rel - s_arr).reshape(-1)[np.arange(N) // LANE]   # (N,)
+    delta2 = delta - off_n[:, None, None]
+
+    # lidx[(t, r, s, i), l] = rebased-delta*128 + e%128, sentinel if invalid
     lidx = np.full((N, rounds, 8), _PHYS_SENTINEL, np.int64)
-    lidx[valid0] = delta[valid0] * LANE + (tbl_s[valid0] & (LANE - 1))
+    lidx[valid0] = delta2[valid0] * LANE + (tbl_s[valid0] & (LANE - 1))
     # (N, rounds, 8) -> (n_tiles, rounds, rows, 8, LANE)
     lidx = lidx.reshape(n_tiles, rows, LANE, rounds, 8)
     lidx = lidx.transpose(0, 3, 1, 4, 2).reshape(-1, LANE)
@@ -916,17 +953,18 @@ def plan_assemble_phys(elem: np.ndarray, nE: int, E: int, N: int,
         g_starts=jnp.asarray(g_starts.astype(np.int32).reshape(-1)),
         g_shifts=jnp.asarray(g_shifts.astype(np.int32).reshape(-1)),
         lidx=jnp.asarray(lidx.astype(np.int32)),
+        dke=int(dke), s_off=jnp.asarray(base_rel.astype(np.int32).reshape(-1)),
     )
 
 
-def _make_phys_asm_kernel(C: int, dk: int, rounds: int, rows: int,
+def _make_phys_asm_kernel(C: int, dke: int, rounds: int, rows: int,
                           w_blocks: int, scratch_blocks: int, k0: int,
                           pad_groups, margin: int):
     n_groups = len(pad_groups)
     k0m = k0 + margin
 
-    def kernel(gs_ref, gsh_ref, lidx_ref, src_hbm, out_ref,
-               scratch, sems):
+    def kernel(gs_ref, gsh_ref, soff_ref, lidx_ref, src_hbm, out_ref,
+               scratch, merged, sems):
         i = pl.program_id(0)
         n = pl.num_programs(0)
         slot = jax.lax.rem(i, jnp.int32(2))
@@ -973,24 +1011,41 @@ def _make_phys_asm_kernel(C: int, dk: int, rounds: int, rows: int,
         row = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
         for g in range(n_groups):
             dma(slot, i, g).wait()
+        # group-merge pass: collapse the per-group scratch planes into ONE
+        # block-major buffer (w_blocks dynamic-indexable blocks) with a
+        # single static select cascade per column — the old kernel re-did
+        # the cascade per (ch, s, d) use, ~rows*dk times per column
         for ch in range(C):
-            for s in range(rows):
-                acc = jnp.zeros((8, LANE), scratch.dtype)
-                for r in range(rounds):
-                    sl = slice((r * rows + s) * 8, (r * rows + s) * 8 + 8)
-                    lane_g = lane[sl]       # (8, 128)
-                    drow_g = drow[sl]
-                    for d in range(dk):
-                        col = pl.ds((k0m + s + d) * LANE, LANE)
-                        V = scratch[slot, ch, 0, :, col]
-                        for g in range(1, n_groups):
-                            _, lo, _ = pad_groups[g]
-                            V = jax.lax.select(
-                                row >= lo, scratch[slot, ch, g, :, col], V)
-                        val = _lane_lookup(V, lane_g)
-                        acc = acc + jax.lax.select(
-                            drow_g == d, val, jnp.zeros_like(val))
-                out_ref[ch, s, :] = jnp.sum(acc, axis=0)
+            for b in range(w_blocks):
+                col = pl.ds((k0m + b) * LANE, LANE)
+                V = scratch[slot, ch, 0, :, col]
+                for g in range(1, n_groups):
+                    _, lo, _ = pad_groups[g]
+                    V = jax.lax.select(
+                        row >= lo, scratch[slot, ch, g, :, col], V)
+                merged[ch, b] = V
+        # s outer / ch inner: the drow masks depend on (s, r) only, so one
+        # mask set serves all C channels; the per-row rebased base comes
+        # from SMEM (plan.s_off) and the d-loop runs dke <= dk iterations
+        for s in range(rows):
+            base = soff_ref[i * jnp.int32(rows) + jnp.int32(s)]
+            accs = [None] * C
+            for r in range(rounds):
+                sl = slice((r * rows + s) * 8, (r * rows + s) * 8 + 8)
+                lane_g = lane[sl]           # (8, 128)
+                drow_g = drow[sl]
+                masks = [drow_g == d for d in range(dke - 1)]
+                valid = drow_g < jnp.int32(dke)     # sentinel rows drop out
+                for ch in range(C):
+                    vals = [_lane_lookup(merged[ch, base + jnp.int32(d)],
+                                         lane_g) for d in range(dke)]
+                    v = vals[dke - 1]
+                    for d in reversed(range(dke - 1)):
+                        v = jax.lax.select(masks[d], vals[d], v)
+                    v = jax.lax.select(valid, v, jnp.zeros_like(v))
+                    accs[ch] = v if accs[ch] is None else accs[ch] + v
+            for ch in range(C):
+                out_ref[ch, s, :] = jnp.sum(accs[ch], axis=0)
     return kernel
 
 
@@ -1009,19 +1064,22 @@ def blocked_assemble_phys(qe, plan: AsmPhysPlan) -> jnp.ndarray:
         src = qe
     C = src.shape[0]
     rows = plan.rows
+    dke = plan.dke or plan.dk      # plans built before the rebase: dke=dk
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(plan.n_tiles,),
         in_specs=[
             pl.BlockSpec((plan.rounds * rows * 8, LANE),
-                         lambda i, ss, sh: (i, _I0())),
+                         lambda i, ss, sh, so: (i, _I0())),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((C, rows, LANE),
-                               lambda i, ss, sh: (_I0(), i, _I0())),
+                               lambda i, ss, sh, so: (_I0(), i, _I0())),
         scratch_shapes=[
             pltpu.VMEM((2, C, len(plan.pad_groups), 8,
                         plan.scratch_blocks * LANE), src.dtype),
+            # group-merged block-major window (dynamic block indexing)
+            pltpu.VMEM((C, plan.w_blocks, 8, LANE), src.dtype),
             # one DMA semaphore per (slot, group): all C channels ride a
             # single strided copy, so the semaphore must be scalar per copy
             # (jax >= 0.9 rejects signaling on a non-()-shaped semaphore)
@@ -1029,12 +1087,12 @@ def blocked_assemble_phys(qe, plan: AsmPhysPlan) -> jnp.ndarray:
         ],
     )
     out = pl.pallas_call(
-        _make_phys_asm_kernel(C, plan.dk, plan.rounds, rows, plan.w_blocks,
+        _make_phys_asm_kernel(C, dke, plan.rounds, rows, plan.w_blocks,
                               plan.scratch_blocks, plan.k0,
                               plan.pad_groups, plan.margin),
         out_shape=jax.ShapeDtypeStruct((C, plan.N // LANE, LANE), src.dtype),
         grid_spec=grid_spec,
-    )(plan.g_starts, plan.g_shifts, plan.lidx, src)
+    )(plan.g_starts, plan.g_shifts, plan.s_off, plan.lidx, src)
     return out.reshape(C, plan.N)
 
 
@@ -1059,7 +1117,7 @@ def plan_sharded_assemble_phys(elem_per_shard, nE_per_shard, E: int, N: int,
     def meta_set(ps):
         return {(p.rows, p.dk, p.rounds, p.n_tiles, p.w_blocks, p.k0,
                  p.scratch_blocks, p.N, p.slot_pad, p.src_len,
-                 p.pad_groups, p.margin, p.E) for p in ps}
+                 p.pad_groups, p.margin, p.E, p.dke) for p in ps}
 
     plans = plan_all()
     if not all(p.ok for p in plans):
@@ -1073,7 +1131,8 @@ def plan_sharded_assemble_phys(elem_per_shard, nE_per_shard, E: int, N: int,
         plans = plan_all(force_pads=pads,
                          min_dk=max(p.dk for p in plans),
                          min_rounds=max(p.rounds for p in plans),
-                         min_k0=max(p.k0 for p in plans))
+                         min_k0=max(p.k0 for p in plans),
+                         min_dke=max(p.dke for p in plans))
         if not all(p.ok for p in plans):
             return None
     scratch = max(p.scratch_blocks for p in plans)
@@ -1086,7 +1145,8 @@ def plan_sharded_assemble_phys(elem_per_shard, nE_per_shard, E: int, N: int,
         shifts=jnp.stack([p.shifts for p in plans]),
         g_starts=jnp.stack([p.g_starts for p in plans]),
         g_shifts=jnp.stack([p.g_shifts for p in plans]),
-        lidx=jnp.stack([p.lidx for p in plans]))
+        lidx=jnp.stack([p.lidx for p in plans]),
+        s_off=jnp.stack([p.s_off for p in plans]))
 
 
 def _stack_plans(plans) -> GatherPlan:

@@ -106,9 +106,10 @@ def _emulate_phys_asm(qe, plan):
     g_starts = np.asarray(plan.g_starts).reshape(plan.n_tiles, -1)
     g_shifts = np.asarray(plan.g_shifts).reshape(plan.n_tiles, -1)
     W = plan.scratch_blocks * LANE
-    rows, rounds, dk = plan.rows, plan.rounds, plan.dk
+    rows, rounds, dke = plan.rows, plan.rounds, plan.dke
     k0m = plan.k0 + plan.margin
     w = plan.w_blocks * LANE
+    s_off = np.asarray(plan.s_off).reshape(plan.n_tiles, rows)
     for t in range(plan.n_tiles):
         scratch = np.zeros((C, 8, W), qe.dtype)
         for g, (_, lo, hi) in enumerate(plan.pad_groups):
@@ -123,8 +124,8 @@ def _emulate_phys_asm(qe, plan):
                 lane = li & (LANE - 1)
                 d = li >> 7
                 for i in range(8):
-                    sel = d[i] < dk
-                    col = (k0m + s + d[i]) * LANE + lane[i]
+                    sel = d[i] < dke
+                    col = (k0m + s_off[t, s] + d[i]) * LANE + lane[i]
                     acc[:, i, sel] += scratch[:, i, col[sel] % W]
             out[:, t*rows*LANE + s*LANE:(t*rows + s + 1)*LANE] = \
                 acc.sum(axis=1)
@@ -190,7 +191,7 @@ def test_sharded_phys_asm_plan_matches_direct():
                             starts=plan.starts[d], shifts=plan.shifts[d],
                             g_starts=plan.g_starts[d],
                             g_shifts=plan.g_shifts[d],
-                            lidx=plan.lidx[d])
+                            lidx=plan.lidx[d], s_off=plan.s_off[d])
         k = int(al[d].sum())
         qe = rng.standard_normal((3, 8, hm.El)).astype(np.float32)
         qe[:, :, k:] = 0.0            # padding elements carry no force
