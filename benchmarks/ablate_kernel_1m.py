@@ -101,6 +101,8 @@ def make_variant(mode):
         dn = (((1,), (0,)), ((), ()))
 
         def _dot(A, x, dtype):
+            # mirror of element_pallas._make_mxu_kernel._dot (K-stacked
+            # single-pass bf16x3)
             if precision != "high":
                 return jax.lax.dot_general(A, x, dn, precision=hi,
                                            preferred_element_type=dtype)
@@ -113,7 +115,19 @@ def make_variant(mode):
             def d(a, b):
                 return jax.lax.dot_general(a, b, dn,
                                            preferred_element_type=dtype)
-            return d(A_hi, x_hi) + (d(A_hi, x_lo) + d(A_lo, x_hi))
+            K = A.shape[1]
+            c = K
+            while 3 * c > 128:
+                c = -(-c // 2)
+            acc = None
+            for k in range(0, K, c):
+                W = jnp.concatenate([A_hi[:, k:k + c], A_hi[:, k:k + c],
+                                     A_lo[:, k:k + c]], axis=1)
+                X = jnp.concatenate([x_hi[k:k + c], x_lo[k:k + c],
+                                     x_hi[k:k + c]], axis=0)
+                r = d(W, X)
+                acc = r if acc is None else acc + r
+            return acc
 
         def kernel(cj_ref, cq_ref, P_ref, pos_ref, du_ref, *rest):
             rest = list(rest)
@@ -121,12 +135,25 @@ def make_variant(mode):
                 rest.pop()
             dp_ref, fs_ref, is_ref, flag_ref, P_out, qe_ref = rest
             dtype = pos_ref.dtype
+            if mode == "dmaonly":
+                # pure stream: every buffer in/out, zero math — the DMA +
+                # pipeline floor of this grid/BlockSpec layout
+                qe_ref[:] = du_ref[:] + dp_ref[:]
+                P_out[:] = P_ref[:]
+                return
             d = du_ref[:]
             du24 = d - dp_ref[:]
             pos24 = jnp.concatenate(
                 [pos_ref[8 * b:8 * (b + 1)]
                  + (d[8 * b:8 * (b + 1)] - d[8 * b:8 * b + 1])
                  for b in range(3)], axis=0)
+            if mode == "kinonly":
+                # kinematics build only (no dots): prices the pos/du
+                # prologue against dmaonly; dotsonly - kinonly = the dot
+                # machinery (splits + concats + MXU passes)
+                qe_ref[:] = pos24 + du24
+                P_out[:] = P_ref[:]
+                return
             Jf = _dot(cj_ref[:], pos24, dtype)
             Gf = _dot(cj_ref[:], du24, dtype)
 
@@ -179,5 +206,5 @@ def make_variant(mode):
     return _make
 
 
-for tag in ("full", "nohard", "noplast", "nobbar", "dotsonly"):
+for tag in ("dmaonly", "kinonly", "dotsonly", "full"):
     timed(tag, make_variant(tag))

@@ -39,6 +39,22 @@ DECKS = {
 sel = [s for s in os.environ.get("DECKS", ",".join(DECKS)).split(",") if s]
 N1 = int(os.environ.get("N1", 200))
 N2 = int(os.environ.get("N2", 1200))
+
+
+def _cfg():
+    cfg = SolverConfig(dtype="mixed")
+    tb = int(os.environ.get("TRI_BLOCK", 0))
+    nb = int(os.environ.get("NODE_BLOCK", 0))
+    if tb or nb:
+        import dataclasses
+        rep = {}
+        if tb:
+            rep.update(tri_block=tb, tri_block_self=tb)
+        if nb:
+            rep.update(node_block=nb, node_block_self=nb)
+        cfg = dataclasses.replace(
+            cfg, contact=dataclasses.replace(cfg.contact, **rep))
+    return cfg
 out_path = os.environ.get(
     "OUT", os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_CONTACT.json"))
@@ -50,7 +66,7 @@ for name in sel:
         print(f"{name}: deck missing, skipped", flush=True)
         continue
     t_setup = time.perf_counter()
-    model = lower(read_inp_file(path), SolverConfig(dtype="mixed"))
+    model = lower(read_inp_file(path), _cfg())
     state = run_chunk(model, init_state(model), 2000)   # warm contact state
     float(jnp.sum(state.disp))
     ts = {}

@@ -341,15 +341,19 @@ def _make_gather_kernel(C: int, w_rows: int):
         crow = lidx >> 7
         rows = lidx.shape[0]
         dma(slot, i).wait()
+        # channel-independent crow masks hoisted; raw lax.select (not
+        # jnp.where) — the closed_call wrapper trips the lowering cache
+        # inside Pallas bodies
+        masks = [crow == c for c in range(w_rows - 1)]
         for ch in range(C):
-            acc = jnp.zeros(lidx.shape, scratch.dtype)
+            vals = []
             for c in range(w_rows):
                 row = scratch[slot, c, ch, :]
                 row_b = jnp.broadcast_to(row[None, :], (rows, LANE))
-                val = _lane_lookup(row_b, lane)
-                # raw lax.select: jnp.where's closed_call wrapper trips the
-                # lowering cache inside Pallas bodies
-                acc = jax.lax.select(crow == c, val, acc)
+                vals.append(_lane_lookup(row_b, lane))
+            acc = vals[w_rows - 1]
+            for c in reversed(range(w_rows - 1)):
+                acc = jax.lax.select(masks[c], vals[c], acc)
             out_ref[ch] = acc
     return kernel
 
@@ -382,18 +386,26 @@ def _make_merged_kernel(C: int, w_rows: int, m_w: int, sg: int,
         lane = lidx & (LANE - 1)
         crow = lidx >> 7
         dma(slot, i).wait()
-        for ch in range(C):
-            for g in range(sg):
-                sl = slice(g * rows_sub, (g + 1) * rows_sub)
-                lane_g = lane[sl]
-                crow_g = crow[sl]
-                off = suboff_ref[i * jnp.int32(sg) + jnp.int32(g)]
-                acc = jnp.zeros((rows_sub, LANE), scratch.dtype)
+        # g outer / ch inner: the crow==c masks are channel-independent —
+        # one mask set per subgroup serves all C channels (the select-into
+        # -acc chain stays: crow may exceed w_rows-1 only for repointed
+        # invalid lanes, which still land inside the window by plan)
+        for g in range(sg):
+            sl = slice(g * rows_sub, (g + 1) * rows_sub)
+            lane_g = lane[sl]
+            crow_g = crow[sl]
+            masks = [crow_g == c for c in range(w_rows - 1)]
+            off = suboff_ref[i * jnp.int32(sg) + jnp.int32(g)]
+            for ch in range(C):
+                vals = []
                 for c in range(w_rows):
                     row = scratch[slot, off + c, ch, :]
-                    row_b = jnp.broadcast_to(row[None, :], (rows_sub, LANE))
-                    val = _lane_lookup(row_b, lane_g)
-                    acc = jax.lax.select(crow_g == c, val, acc)
+                    row_b = jnp.broadcast_to(row[None, :],
+                                             (rows_sub, LANE))
+                    vals.append(_lane_lookup(row_b, lane_g))
+                acc = vals[w_rows - 1]
+                for c in reversed(range(w_rows - 1)):
+                    acc = jax.lax.select(masks[c], vals[c], acc)
                 out_ref[ch, sl] = acc
     return kernel
 
