@@ -67,6 +67,14 @@ class SolverConfig:
     #                              the MXU kernel.  "pallas": the earlier
     #                              VPU-only packed kernel (loses to XLA;
     #                              kept for comparison; see docs/PERF.md)
+    fused_gather: str = "auto"    # "auto": the MXU packed kernel resolves
+    #                              disp/dprev element copies from nodal
+    #                              windows in-kernel (GatherPhysPlan) on
+    #                              pure-f32 decks whose mesh admits the
+    #                              plan — the kernel is DMA-bandwidth
+    #                              bound and the materialized (3,8,E)
+    #                              streams were 200 MB/step at 1M.
+    #                              "off": always gather separately.
     mxu_precision: str = "highest"  # f32 matmul passes in the MXU element
     #                              kernel: "highest" = 6-pass bf16 (exact
     #                              f32), "high" = 3-pass bf16 (~1e-6 rel

@@ -26,8 +26,9 @@ import jax.numpy as jnp
 
 from ..config import SolverConfig
 from ..io.model import Model
-from ..ops.gather_pallas import (AsmPhysPlan, GatherPlan, plan_assemble,
-                                 plan_assemble_phys, plan_blocked_gather,
+from ..ops.gather_pallas import (AsmPhysPlan, GatherPlan, GatherPhysPlan,
+                                 plan_assemble, plan_assemble_phys,
+                                 plan_blocked_gather, plan_gather_phys,
                                  plan_segmented)
 from ..ops.shape import pusai_hexa
 
@@ -263,6 +264,9 @@ class LoweredModel:
     # directly, no relayouts, one output write per node tile); plan_asm
     # stays as the f64 / fallback path
     plan_asm2: AsmPhysPlan | None = None
+    # fused in-kernel nodal gather plan (None -> separate gather + streamed
+    # disp_e/dprev_e; see ops/gather_pallas.GatherPhysPlan)
+    plan_gphys: GatherPhysPlan | None = None
     # RCM renumbering permutations (None = deck order used internally);
     # new internal id -> original deck id, 0-based (core/renumber.py)
     node_new2old: jnp.ndarray = None   # (n_node,) int32
@@ -904,7 +908,7 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
                       for m in mats)
 
     # --- Pallas blocked-gather plans (ops/gather_pallas.py) ---
-    plan_pos = plan_asm = plan_asm2 = None
+    plan_pos = plan_asm = plan_asm2 = plan_gphys = None
     asm_mask = None
     asm_vl = 0
     if use_plans:
@@ -930,6 +934,16 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         plan_asm2 = plan_assemble_phys(elem, nE, E, N)
         if not plan_asm2.ok:
             plan_asm2 = None
+        # fused in-kernel nodal gather plan (element kernel tile = the MXU
+        # packed kernel's tile); padding elements reference node 0, so the
+        # fused gather reads real values the element flag later masks
+        from ..ops.element import _TILE_E
+        te = _TILE_E
+        while E % te:
+            te //= 2
+        plan_gphys = plan_gather_phys(elem, N, E, te)
+        if not plan_gphys.ok:
+            plan_gphys = None
 
     return LoweredModel(
         pl_tables=pl_tables, du_tables=du_tables,
@@ -979,6 +993,7 @@ def _lower_impl(model: Model, cfg: SolverConfig) -> LoweredModel:
         plan_pos=plan_pos,
         plan_asm=plan_asm,
         plan_asm2=plan_asm2,
+        plan_gphys=plan_gphys,
         asm_mask=(jnp.asarray(asm_mask) if asm_mask is not None else None),
         asm_vl=asm_vl,
         # element-node coordinates centered on node 0 (computed in f64, so

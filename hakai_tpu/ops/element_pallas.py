@@ -19,6 +19,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.lowering import LoweredModel
 from . import element as _el
+from .gather_pallas import _I0, _lane_lookup
 
 
 def _make_kernel(pl_tables):
@@ -207,7 +208,7 @@ def _mxu_tables():
 
 
 def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False,
-                     precision="highest"):
+                     precision="highest", gplan=None):
     hi = jax.lax.Precision.HIGHEST
     dn = (((1,), (0,)), ((), ()))      # plain (M,K)@(K,N)
 
@@ -246,10 +247,28 @@ def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False,
             acc = r if acc is None else acc + r
         return acc
 
-    def kernel(cj_ref, cq_ref, P_ref, pos_ref, du_ref, *rest):
-        rest = list(rest)
-        tri_ref = rest.pop() if want_triax else None
-        if kin_inside:
+    def kernel(*args):
+        args = list(args)
+        if gplan is not None:
+            # fused in-kernel nodal gather (see gather_pallas.GatherPhysPlan)
+            (ws_ref, soff_ref, lidx_ref, cj_ref, cq_ref, P_ref, pos_ref,
+             fs_ref, is_ref, flag_ref, src_d, src_p) = args[:12]
+            rest = args[12:]
+            # rest = outputs then scratch: P_out, qe[, tri], win, V2,
+            # kin_s, sems
+            sems = rest.pop()
+            kin_s = rest.pop()
+            V2 = rest.pop()
+            win = rest.pop()
+            tri_ref = rest.pop() if want_triax else None
+            P_out, qe_ref = rest
+        else:
+            cj_ref, cq_ref, P_ref, pos_ref, du_ref = args[:5]
+            rest = args[5:]
+            tri_ref = rest.pop() if want_triax else None
+        if gplan is not None:
+            pass
+        elif kin_inside:
             dp_ref, fs_ref, is_ref, flag_ref, P_out, qe_ref = rest
         else:
             fs_ref, is_ref, flag_ref, P_out, qe_ref = rest
@@ -261,7 +280,75 @@ def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False,
         G_e = fs_ref[0]
         lam_e = fs_ref[1]
 
-        if kin_inside:
+        if gplan is not None:
+            # --- window DMA (double-buffered, one copy per source) ---
+            i = pl.program_id(0)
+            n = pl.num_programs(0)
+            sb = jax.lax.rem(i, jnp.int32(2))
+            nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+            def dma(s, t, which):
+                src = src_d if which == 0 else src_p
+                return pltpu.make_async_copy(
+                    src.at[pl.ds(ws_ref[t], gplan.w_copy)],
+                    win.at[s, which], sems.at[s, which])
+
+            @pl.when(i == 0)
+            def _():
+                for which in (0, 1):
+                    dma(sb, i, which).start()
+
+            @pl.when(i + 1 < n)
+            def _():
+                for which in (0, 1):
+                    dma(nxt, i + 1, which).start()
+
+            lidx = lidx_ref[:]              # (rows_c*8, LANE)
+            lane = lidx & 127
+            drow = lidx >> 7
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            for which in (0, 1):
+                dma(sb, i, which).wait()
+            # V2 build: sublane-interleave the 8 per-slot diagonal bases
+            # (s_off scalars) so every later read is a STATIC slice
+            for which in (0, 1):
+                for ch in range(3):
+                    for w in range(gplan.w_v2):
+                        v = None
+                        for k in range(8):
+                            r = win[sb, which,
+                                    soff_ref[i * 8 + jnp.int32(k)] + w,
+                                    ch, :]
+                            rb = jnp.broadcast_to(r[None], (8, 128))
+                            v = rb if k == 0 else jax.lax.select(
+                                row_i == k, rb, v)
+                        V2[which, ch, w] = v
+            # resolve: chunk c of output row (b, i) = V2[b, c+drow][i, lane]
+            for c in range(gplan.rows_c):
+                sl = slice(c * 8, (c + 1) * 8)
+                lane_g = lane[sl]
+                drow_g = drow[sl]
+                masks = [drow_g == d for d in range(gplan.dke - 1)]
+
+                def mux(vals):
+                    v = vals[gplan.dke - 1]
+                    for d in reversed(range(gplan.dke - 1)):
+                        v = jax.lax.select(masks[d], vals[d], v)
+                    return v
+                cs = slice(c * 128, (c + 1) * 128)
+                for b in range(3):
+                    vd = mux([_lane_lookup(
+                        V2[0, b, c + d], lane_g) for d in range(gplan.dke)])
+                    vp = mux([_lane_lookup(
+                        V2[1, b, c + d], lane_g) for d in range(gplan.dke)])
+                    # node-0-centered position + displacement increment
+                    d0 = jnp.broadcast_to(vd[0:1, :], (8, 128))
+                    kin_s[b * 8:(b + 1) * 8, cs] = \
+                        pos_ref[b * 8:(b + 1) * 8, cs] + (vd - d0)
+                    kin_s[24 + b * 8:24 + (b + 1) * 8, cs] = vd - vp
+            pos24 = kin_s[0:24]
+            du24 = kin_s[24:48]
+        elif kin_inside:
             # pos_ref = coord24 (node-0-centered), du_ref = disp24,
             # dp_ref = dprev24: the kinematic differences are taken HERE so
             # the (24, E) pos/du buffers are never materialized in HBM
@@ -370,14 +457,21 @@ def _make_mxu_kernel(pl_tables, TE, kin_inside=False, want_triax=False,
 
 
 def element_core_packed_mxu(model: LoweredModel, pos24, du24, P, flag,
-                            dprev24=None, want_triax=False):
+                            dprev24=None, want_triax=False,
+                            gplan=None, disp_il=None, dprev_il=None):
     """MXU-assisted packed element kernel — same contract as
     element_core_packed (state in/out as one (72, E) buffer, qe as
     (24, E) rows).  With ``dprev24`` the caller passes
     (coord24, disp24, dprev24) instead of (pos24, du24) and the kinematic
     differences happen inside the kernel (f32 decks only).  With
     ``want_triax`` a third (8, E) output carries the triaxiality of the
-    final stress (fracture decks; computed while stress is in VMEM)."""
+    final stress (fracture decks; computed while stress is in VMEM).
+
+    With ``gplan`` (a GatherPhysPlan) the nodal gather fuses INTO the
+    kernel: the caller passes ``pos24`` = coord24 plus the interleaved
+    (N/128, 3, 128) nodal sources ``disp_il``/``dprev_il``, and the
+    (24, E) disp/dprev element copies are never materialized in HBM
+    (the kernel is DMA-bandwidth bound — docs/PERF.md round-5 session 3)."""
     import os
     E = P.shape[1]
     TE = int(os.environ.get("HAKAI_MXU_TILE", 0)) or _el._TILE_E
@@ -385,12 +479,66 @@ def element_core_packed_mxu(model: LoweredModel, pos24, du24, P, flag,
         TE //= 2
     n_tiles = E // TE
     dt = P.dtype
+    if gplan is not None and (gplan.te != TE or not gplan.ok):
+        gplan = None                     # plan/tile mismatch: unfused path
+        if disp_il is not None and dprev24 is None:
+            raise ValueError("fused gather requested but plan unusable")
     kin_inside = dprev24 is not None
     CJ, CQ = _mxu_tables()
     fstat = jnp.stack([model.G_e, model.lam_e])
     istat = jnp.stack([model.mat_id,
                        model.has_plastic_e.astype(jnp.int32)])
     flag_i = flag.astype(jnp.int32)[None]
+
+    kernel = _make_mxu_kernel(model.pl_tables, TE, kin_inside=kin_inside,
+                              want_triax=want_triax,
+                              precision=getattr(model.config,
+                                                "mxu_precision", "highest"),
+                              gplan=gplan)
+    if gplan is not None:
+        def spec(rows):
+            return pl.BlockSpec((rows, TE),
+                                lambda i, ws, so: (_I0(), i),
+                                memory_space=pltpu.VMEM)
+
+        def cspec(shape):
+            return pl.BlockSpec(shape, lambda i, ws, so: (_I0(), _I0()),
+                                memory_space=pltpu.VMEM)
+
+        out_specs = [spec(72), spec(24)]
+        out_shape = [jax.ShapeDtypeStruct((72, E), dt),
+                     jax.ShapeDtypeStruct((24, E), dt)]
+        if want_triax:
+            out_specs.append(spec(8))
+            out_shape.append(jax.ShapeDtypeStruct((8, E), dt))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((gplan.rows_c * 8, 128),
+                             lambda i, ws, so: (i, _I0()),
+                             memory_space=pltpu.VMEM),       # lidx
+                cspec((72, 24)), cspec((24, 72)),
+                spec(72), spec(24),                          # P, coord24
+                spec(2), spec(2), spec(1),
+                pl.BlockSpec(memory_space=pltpu.ANY),        # disp_il
+                pl.BlockSpec(memory_space=pltpu.ANY),        # dprev_il
+            ],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, gplan.w_copy, 3, 128), dt),     # win
+                pltpu.VMEM((2, 3, gplan.w_v2, 8, 128), dt),       # V2
+                pltpu.VMEM((48, TE), dt),                         # kin_s
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=jax.default_backend() != "tpu",
+        )(gplan.win_start, gplan.s_off, gplan.lidx,
+          jnp.asarray(CJ, dt), jnp.asarray(CQ, dt), P, pos24,
+          fstat, istat, flag_i, disp_il, dprev_il)
+        return tuple(out)
 
     def spec(rows):
         return pl.BlockSpec((rows, TE),
@@ -411,10 +559,7 @@ def element_core_packed_mxu(model: LoweredModel, pos24, du24, P, flag,
         out_specs.append(spec(8))
         out_shape.append(jax.ShapeDtypeStruct((8, E), dt))
     out = pl.pallas_call(
-        _make_mxu_kernel(model.pl_tables, TE, kin_inside=kin_inside,
-                         want_triax=want_triax,
-                         precision=getattr(model.config, "mxu_precision",
-                                           "highest")),
+        kernel,
         grid=(n_tiles,),
         in_specs=[
             cspec((72, 24)), cspec((24, 72)),
@@ -456,6 +601,13 @@ def packed_element_step(model: LoweredModel, coord_e, disp_e, disp_e_prev,
                  + (disp_e - disp_e[:, 0:1, :]).astype(edt)).reshape(24, E)
         du24 = (disp_e - disp_e_prev).astype(edt).reshape(24, E)
         out = element_core_packed(model, pos24, du24, P, flag, want_triax=wt)
+    return _fracture_epilogue(model, out, flag)
+
+
+def _fracture_epilogue(model, out, flag):
+    from .element import triax_components
+    from .erosion import erosion_delete_mask
+
     P_new, qe = out[0], out[1]
     triax = None
     if model.fracture_enabled:
@@ -469,3 +621,18 @@ def packed_element_step(model: LoweredModel, coord_e, disp_e, disp_e_prev,
         triax = jnp.where(flag[None, :], triax_raw, 0.0)
         flag, _ = erosion_delete_mask(model, P_new[56:64], triax, flag)
     return P_new, qe, triax, flag
+
+
+def packed_element_step_fused(model: LoweredModel, P, flag, disp_il,
+                              dprev_il):
+    """Fused-gather packed step: the kernel resolves the disp/dprev element
+    copies from interleaved (N/128, 3, 128) nodal windows (GatherPhysPlan)
+    instead of reading materialized (24, E) streams — the kernel is
+    DMA-bandwidth bound, so removing ~200 MB/step at 1M is the win.
+    f32-only (the mixed path must difference in f64 before the cast)."""
+    E = P.shape[1]
+    out = element_core_packed_mxu(
+        model, model.coord_e.reshape(24, E), None, P, flag,
+        want_triax=model.fracture_enabled, gplan=model.plan_gphys,
+        disp_il=disp_il, dprev_il=dprev_il)
+    return _fracture_epilogue(model, out, flag)

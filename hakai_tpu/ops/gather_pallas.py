@@ -1312,3 +1312,100 @@ def plan_local(plan: GatherPlan) -> GatherPlan:
         if not f.metadata.get("static") and v is not None:
             rep[f.name] = v[0]
     return dataclasses.replace(plan, **rep)
+
+
+# ---------------------------------------------------------------------------
+# Fused element-kernel gather plan ("gather-phys"): per element-KERNEL tile
+# windows over the nodal source, per-slot diagonal bases, so the MXU packed
+# element kernel can resolve disp/dprev element copies from small VMEM
+# windows instead of streaming materialized (24, E) arrays from HBM.
+#
+# Motivation (docs/PERF.md round-5 session 3): the packed kernel is
+# DMA-bandwidth bound at ~410 GB/s duplex; the disp_e/dprev_e streams are
+# 200 MB/step at 1M and the standalone gather's merged windows re-read the
+# nodal source ~25x (slot rows interleave).  One window per element tile
+# serves all 8 slots of both sources for ~80 MB/step total.
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GatherPhysPlan:
+    """Window plan for the fused in-kernel nodal gather.
+
+    Kernel contract (see element_pallas._make_mxu_kernel, fused mode): for
+    element-kernel tile t (TE elements = ``rows_c`` 128-lane chunks):
+
+    - ONE async copy per source: interleaved nodal array (N/128, C, 128)
+      rows [win_start[t], +w_copy) -> window scratch.
+    - V2 build: V2[ch, w][i, :] = window[s_off[t*8+i] + w, ch, :] — the
+      per-slot diagonal bases collapse into sublane-interleaved planes.
+    - resolve chunk c of output row (b, i): lane/drow from ``lidx``;
+      value = V2[b, c + drow][i, lane] with drow in [0, dke).
+    """
+    te: int = dataclasses.field(metadata=dict(static=True), default=0)
+    rows_c: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_tiles: int = dataclasses.field(metadata=dict(static=True), default=0)
+    dke: int = dataclasses.field(metadata=dict(static=True), default=0)
+    w_copy: int = dataclasses.field(metadata=dict(static=True), default=0)
+    w_v2: int = dataclasses.field(metadata=dict(static=True), default=0)
+    N: int = dataclasses.field(metadata=dict(static=True), default=0)
+    E: int = dataclasses.field(metadata=dict(static=True), default=0)
+    ok: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    win_start: jnp.ndarray = None   # (n_tiles,) int32 raw source block start
+    s_off: jnp.ndarray = None       # (n_tiles*8,) int32 per-slot V2 base
+    #                                 relative to win_start (window rows)
+    lidx: jnp.ndarray = None        # (n_tiles*rows_c*8, 128) int32
+    #                                 lane | drow<<7; sublane = slot
+
+
+def plan_gather_phys(elem: np.ndarray, N: int, E: int, te: int,
+                     dk_max: int = 8) -> GatherPhysPlan:
+    """Build a :class:`GatherPhysPlan` from (8, E) 0-based connectivity.
+
+    ``ok=False`` when the mesh numbering defeats the per-slot diagonal
+    assumption (node-block drift within one slot's tile span exceeds
+    ``dk_max``) or the window would span more than ~1/4 of the source.
+    Padding elements must reference node 0 (they gather real values that
+    the element flag later masks).
+    """
+    if E % te or N % LANE or te % LANE:
+        return GatherPhysPlan(ok=False)
+    rows_c = te // LANE
+    n_tiles = E // te
+    src_rows = N // LANE
+
+    nb = np.asarray(elem, np.int64) >> 7                 # (8, E)
+    s_of_e = (np.arange(E) % te) >> 7                    # chunk in tile
+    vbase = nb - s_of_e[None, :]                         # (8, E)
+    vb = vbase.reshape(8, n_tiles, te)
+    base_ti = vb.min(axis=2)                             # (8, n_tiles)
+    drow0 = vbase - base_ti[:, (np.arange(E) // te)]     # (8, E) >= 0
+    dke = int(drow0.max()) + 1
+    if dke > dk_max:
+        return GatherPhysPlan(ok=False)
+    w_v2 = rows_c + dke - 1
+
+    lo_t = base_ti.min(axis=0)                           # (n_tiles,)
+    hi_t = (base_ti + w_v2).max(axis=0)                  # exclusive
+    w_copy = int((hi_t - lo_t).max())
+    if w_copy > max(src_rows, 1) or w_copy > 4 * (rows_c + dke) + 64:
+        return GatherPhysPlan(ok=False)
+    win_start = np.clip(lo_t, 0, max(src_rows - w_copy, 0))
+    s_off = (base_ti - win_start[None, :])               # (8, n_tiles)
+    if (s_off < 0).any() or (s_off + w_v2 > w_copy).any():
+        # clamp pushed a window past a slot's range (mesh edge) — bail to
+        # the unfused path rather than reason about margins
+        return GatherPhysPlan(ok=False)
+
+    lane = (np.asarray(elem, np.int64) & (LANE - 1))
+    lidx = lane + (drow0 << 7)                           # (8, E)
+    # -> (n_tiles, rows_c, 8, LANE): sublane = slot, lanes = elements
+    lidx = lidx.reshape(8, n_tiles, rows_c, LANE).transpose(1, 2, 0, 3)
+
+    return GatherPhysPlan(
+        te=te, rows_c=rows_c, n_tiles=n_tiles, dke=int(dke),
+        w_copy=int(w_copy), w_v2=int(w_v2), N=N, E=E, ok=True,
+        win_start=jnp.asarray(win_start.astype(np.int32)),
+        s_off=jnp.asarray(s_off.T.reshape(-1).astype(np.int32)),
+        lidx=jnp.asarray(lidx.reshape(-1, LANE).astype(np.int32)),
+    )

@@ -271,6 +271,42 @@ def step_fast_packed(model: LoweredModel, state: SimState, disp_e_prev, P,
     return new_state, disp_e, P_new, activity
 
 
+def _interleave_nodal(x, edtype):
+    """(3, N) nodal field -> (N/128, 3, 128) channel-interleaved layout for
+    the fused-gather kernel's window DMAs (one contiguous copy per tile)."""
+    N = x.shape[1]
+    return x.astype(edtype).reshape(3, N // 128, 128).transpose(1, 0, 2)
+
+
+def step_fast_packed_fused(model: LoweredModel, state: SimState, disp_il_prev,
+                           P, activity=None):
+    """Fused-gather variant of step_fast_packed: the element kernel resolves
+    disp/dprev element copies from nodal windows (GatherPhysPlan), so no
+    (3, 8, E) disp_e array is ever materialized or carried — the kernel is
+    DMA-bandwidth bound and those streams were 200 MB/step at 1M.
+    Pure-f32 decks only (the carry IS the nodal field)."""
+    from ..ops.element import assemble_internal_force
+    from ..ops.element_pallas import packed_element_step_fused
+
+    E = model.E
+    t, disp_new, velo, cforce, dwork = _integrate(model, state, activity)
+    disp_il = _interleave_nodal(disp_new, model.edtype)
+    P_new, qe, triax, flag = packed_element_step_fused(
+        model, P, state.element_flag, disp_il, disp_il_prev)
+    Q = assemble_internal_force(model, qe.reshape(3, 8, E)
+                                ).astype(model.dtype)
+    if triax is None:
+        triax = state.triax
+    if activity is not None:
+        changed = jnp.any(flag != state.element_flag)
+        activity = _next_activity(model, activity, flag, changed)
+    new_state = state.replace(
+        t=t, disp=disp_new, disp_pre=state.disp, velo=velo, Q=Q,
+        triax=triax, element_flag=flag, contact_force=cforce,
+        work=_acc_work(state, dwork))
+    return new_state, disp_il, P_new, activity
+
+
 def pack_gauss_state(state: SimState, E: int):
     """(72, E) packed Gauss-point state: stress 0:48, GP-mean strain 48:54,
     zero pad 54:56 (keeps eq/yield on sublane-tile boundaries inside the
@@ -310,16 +346,26 @@ def run_chunk(model: LoweredModel, state: SimState, n_steps: int) -> SimState:
 
         act0 = _init_activity(model, state.element_flag)
         if pallas_core_ok(model, model.E, model.edtype):
-            disp_e0 = gather_disp_e(model, state.disp)
+            import os
             E = model.E
             P0 = pack_gauss_state(state, E)
             dummy = jnp.zeros((0,), model.dtype)
             s0 = state.replace(stress=dummy, strain=dummy, eq_ps=dummy,
                                yield_s=dummy)
+            fused = (model.plan_gphys is not None
+                     and model.dtype == model.edtype
+                     and model.config.fused_gather != "off"
+                     and os.environ.get("HAKAI_FUSED_GATHER", "1") != "0")
+            if fused:
+                il0 = _interleave_nodal(state.disp, model.edtype)
+                step_fn = step_fast_packed_fused
+            else:
+                il0 = gather_disp_e(model, state.disp)
+                step_fn = step_fast_packed
             out, _, P, _ = jax.lax.fori_loop(
                 0, n_steps,
-                lambda _, c: step_fast_packed(model, c[0], c[1], c[2], c[3]),
-                (s0, disp_e0, P0, act0), unroll=unroll)
+                lambda _, c: step_fn(model, c[0], c[1], c[2], c[3]),
+                (s0, il0, P0, act0), unroll=unroll)
             P = jnp.concatenate(           # deferred erosion zeroing
                 [jnp.where(out.element_flag[None, :], P[:56], 0.0), P[56:]],
                 axis=0)
